@@ -1,0 +1,152 @@
+"""Differentiable rendering: pixel gradients w.r.t. material parameters.
+
+The reference has no differentiable path at all; this is the subsystem the
+TPU build adds (BASELINE.json north star: d pixel / d (albedo, emission,
+roughness) verified against finite differences).
+
+Estimator design — *detached sampling with reparameterized speculars*:
+
+* The per-(pixel,sample) RNG streams are pure functions of integer state, so
+  for a fixed seed the whole render is a deterministic, piecewise-smooth
+  function of the material arrays.  Plain ``jax.grad`` through the forward
+  accumulation (ops/trace.py) then yields exactly the standard estimator:
+
+  - **albedo / emission**: the radiance is a polynomial in these via the
+    throughput product chain — gradients are exact per-path.
+  - **roughness**: enters through the specular jitter
+    ``normalize(mirror + (u - 0.5) * roughness)`` (material.h:15-25), which
+    is smooth in roughness for fixed uniforms — the reparameterization
+    trick.  The rejection loop's accept/reject flips are measure-zero
+    discontinuities, ignored as usual.
+  - geometry terms (hit ids, normals) are discrete/constant; visibility
+    -boundary terms are ignored (standard for interior-lit scenes).
+
+* Because finite differences of the *same* fixed-seed function see the same
+  discontinuity structure, gradcheck holds without smoothing.
+
+The sample mean is unbiased in the value and (away from boundaries) in the
+gradient, so material gradients can be averaged over sample shards and
+``psum``-reduced across devices (see ``parallel/``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import rng as prng
+from .camera import Camera, get_rays
+from .ops import intersect as isect
+from .ops import trace as trace_ops
+from .scene import Scene
+
+MaterialParams = Dict[str, jnp.ndarray]  # albedo (T,3), emit (T,3), roughness (T,)
+
+
+def material_params(scene: Scene) -> MaterialParams:
+    """Extract the differentiable material arrays from a scene."""
+    return {
+        "albedo": scene.albedo,
+        "emit": scene.emit,
+        "roughness": scene.roughness,
+    }
+
+
+def render_film_diff(
+    camera: Camera,
+    scene: Scene,
+    params: MaterialParams,
+    samples: int,
+    depth: int = 5,
+    *,
+    seed: int = prng.SEED,
+    sample_offset: int = 0,
+) -> jnp.ndarray:
+    """Differentiable linear film (H, W, 3) as a pure jittable function of
+    ``params``.  Single fused pass (no host tiling) — use modest resolutions
+    / spp, or shard with parallel.render_sharded_diff.
+
+    ``sample_offset`` selects which global sample indices this pass traces,
+    so several calls with disjoint offsets average to the full-spp film —
+    the hook for sample-axis data parallelism.
+    """
+    scene = scene.replace_materials(**params)
+    table = trace_ops.shade_table(scene)
+    width, height = camera.res
+
+    def intersect(o, d):
+        return isect.intersect_brute(o, d, scene.v1, scene.v2, scene.v3)
+
+    w = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    h = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    sidx = (sample_offset
+            + jax.lax.broadcasted_iota(jnp.int32, (samples, 1, 1), 0))
+    state = prng.sample_seed(w[None], h[None], height, sidx, seed)
+    state, u1 = prng.rand01(state)
+    state, u2 = prng.rand01(state)
+    ray_o, ray_d = get_rays(camera, w[None], h[None], u1, u2)
+    rad = trace_ops.trace_rays(table, intersect, ray_o, ray_d, depth, state,
+                               has_specular=scene.has_specular)
+    return jnp.mean(rad, axis=0)
+
+
+def make_loss(
+    camera: Camera,
+    scene: Scene,
+    target: jnp.ndarray,
+    samples: int,
+    depth: int = 5,
+    *,
+    seed: int = prng.SEED,
+):
+    """MSE-vs-target loss over the linear film, as a function of params.
+
+    ``sample_offset`` is exposed as an argument so the optimizer can rotate
+    sample indices per step (fresh noise each step, SPSA-free)."""
+
+    def loss(params: MaterialParams, sample_offset=0):
+        film = render_film_diff(camera, scene, params, samples, depth,
+                                seed=seed, sample_offset=sample_offset)
+        return jnp.mean((film - target) ** 2)
+
+    return loss
+
+
+def gradcheck(
+    f,
+    params: MaterialParams,
+    *,
+    eps: float = 1e-3,
+    indices: Optional[list] = None,
+):
+    """Compare jax.grad(f) against central finite differences.
+
+    Returns (max_abs_err, max_rel_err) over the probed coordinates.
+    ``indices``: list of (key, flat_index) pairs; default probes every
+    coordinate of every parameter array.
+    """
+    import numpy as np
+
+    g = jax.grad(f)(params)
+    if indices is None:
+        indices = [(k, i) for k in params for i in range(params[k].size)]
+
+    max_abs = 0.0
+    max_rel = 0.0
+    for key, i in indices:
+        flat = np.asarray(params[key], np.float64).ravel().copy()
+        flat[i] += eps
+        up = {**params, key: jnp.asarray(
+            flat.reshape(params[key].shape), jnp.float32)}
+        flat[i] -= 2 * eps
+        dn = {**params, key: jnp.asarray(
+            flat.reshape(params[key].shape), jnp.float32)}
+        fd = (float(f(up)) - float(f(dn))) / (2 * eps)
+        an = float(np.asarray(g[key]).ravel()[i])
+        err = abs(fd - an)
+        max_abs = max(max_abs, err)
+        denom = max(abs(fd), abs(an), 1e-6)
+        max_rel = max(max_rel, err / denom)
+    return max_abs, max_rel

@@ -1,0 +1,112 @@
+"""Inverse rendering: recover material parameters from a target image.
+
+BASELINE.json config 5: "recover albedo/emission/roughness of Cornell box
+from target image via pixel-gradient descent".  The optimizer works in an
+unconstrained parameter space and maps into physical ranges:
+
+    albedo    = sigmoid(p)        in (0, 1)^3
+    emission  = softplus(p)       in (0, inf)^3
+    roughness = sigmoid(p)        in (0, 1)
+
+Gradients come from the detached/reparameterized estimator in diff.py; each
+step traces a fresh set of sample indices (the global index advances by
+``samples`` per step) so successive steps see independent Monte-Carlo noise,
+which with Adam behaves like SGD on the true expected loss.
+
+Runs single-device here; the multi-chip variant is
+``parallel.make_sharded_train_step`` (same math, grads psum over ICI).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rng as prng
+from .diff import render_film_diff
+from .scene import Scene
+
+
+def _softplus_inv(y):
+    y = jnp.maximum(y, 1e-6)
+    return y + jnp.log(-jnp.expm1(-y))
+
+
+def _logit(y):
+    y = jnp.clip(y, 1e-5, 1 - 1e-5)
+    return jnp.log(y) - jnp.log1p(-y)
+
+
+def to_unconstrained(mats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {
+        "albedo": _logit(mats["albedo"]),
+        "emit": _softplus_inv(mats["emit"]),
+        "roughness": _logit(mats["roughness"]),
+    }
+
+
+def to_materials(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {
+        "albedo": jax.nn.sigmoid(params["albedo"]),
+        "emit": jax.nn.softplus(params["emit"]),
+        "roughness": jax.nn.sigmoid(params["roughness"]),
+    }
+
+
+def init_params(scene: Scene, value: float = 0.5) -> Dict[str, jnp.ndarray]:
+    """Uniform 'grey' starting point with the scene's array shapes."""
+    T = scene.padded_size
+    return {
+        "albedo": jnp.zeros((T, 3)) + _logit(jnp.float32(value)),
+        "emit": jnp.zeros((T, 3)) + _softplus_inv(jnp.float32(value)),
+        "roughness": jnp.zeros((T,)) + _logit(jnp.float32(value)),
+    }
+
+
+def recover_materials(
+    camera,
+    scene: Scene,
+    target: jnp.ndarray,
+    *,
+    steps: int = 200,
+    samples: int = 8,
+    depth: int = 5,
+    lr: float = 5e-2,
+    seed: int = prng.SEED,
+    params0: Optional[Dict[str, jnp.ndarray]] = None,
+    verbose: bool = False,
+):
+    """Gradient-descend material parameters to match ``target`` (linear film).
+
+    Returns (materials, losses): the recovered physical material arrays and
+    the per-step loss history.
+    """
+    import optax
+
+    opt = optax.adam(lr)
+    params = params0 if params0 is not None else init_params(scene)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, k):
+        def loss_fn(p):
+            film = render_film_diff(
+                camera, scene, to_materials(p), samples, depth,
+                seed=seed, sample_offset=k * samples)
+            return jnp.mean((film - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    losses = []
+    for k in range(steps):
+        params, opt_state, loss = step(params, opt_state, jnp.int32(k))
+        losses.append(float(loss))
+        if verbose and (k % 10 == 0 or k == steps - 1):
+            print(f"step {k:4d}  loss {losses[-1]:.3e}")
+    return to_materials(params), np.asarray(losses)

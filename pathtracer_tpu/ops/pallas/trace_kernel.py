@@ -1,0 +1,359 @@
+"""Fused Pallas TPU path-tracing megakernel.
+
+The TPU-native re-architecture of the reference's GLSL fragment-shader
+megakernel (shader.h:25-309).  One kernel instance owns a tile of
+``TILE_ROWS x 128`` pixels (the VPU register shape) and runs the ENTIRE
+pipeline — per-pixel hash RNG, camera ray generation, the spp loop, the
+bounce loop, dense Möller–Trumbore intersection against every triangle, and
+shading — entirely out of on-chip memory:
+
+  * triangle geometry (v1, edge1, edge2) and the 12-column shading table
+    live in SMEM as scalars, read once per triangle per bounce and broadcast
+    against the whole ray tile (the analog of the reference's uniform
+    arrays, shader.h:76-79);
+  * all per-ray state (origins, directions, throughput, radiance, RNG) are
+    (TILE_ROWS, 128) float32/uint32 vector registers;
+  * the only HBM traffic is the final film-tile write: the kernel is
+    compute-bound by design, which is the speed-of-light regime for this
+    workload (intersection arithmetic on the VPU).
+
+Scene-size limit: the dense loop is generated (unrolled) per triangle, so
+this kernel serves scenes up to a few hundred triangles — which covers every
+headline benchmark.  Bigger scenes take the XLA BVH path (ops/intersect).
+
+The math matches ops/trace.py exactly (same RNG streams, same sampling
+formulas, same termination rules), so the Pallas and XLA backends are
+bit-comparable in interpreter mode and statistically identical on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import materials as mat
+from ...camera import Camera
+from ...image import Film
+from ...linalg import EPS, FLOAT_INF, SHIFT_BIAS
+from ...scene import Scene
+from ...ops.trace import shade_table
+
+LANES = 128
+DEFAULT_TILE_ROWS = 64          # rays per tile = TILE_ROWS * 128
+MAX_PALLAS_TRIS = 512           # beyond this, use the BVH path
+
+# rng.py constants (must match rng.sample_seed / rng.rand01 bit for bit)
+_GOLDEN = np.uint32(0x9E3779B9)
+_SEEDMIX = np.uint32(0x85EBCA6B)
+_INV_U32_MAX = np.float32(1.0 / 4294967295.0)
+
+
+def _hash(s):
+    """shader.h:81-90 xorshift/multiply mixer on uint32 arrays."""
+    s = s ^ np.uint32(2747636419)
+    s = s * np.uint32(2654435769)
+    s = s ^ (s >> 16)
+    s = s * np.uint32(2654435769)
+    s = s ^ (s >> 16)
+    s = s * np.uint32(2654435769)
+    return s
+
+
+def _rand01(s):
+    s = _hash(s)
+    return s, s.astype(jnp.float32) * _INV_U32_MAX
+
+
+def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
+            tile_rows: int, n_tris: int, depth: int, spp: int,
+            has_specular: bool, spec_tries: int):
+    """One film tile.  SMEM inputs:
+    iparams: (4,) int32  [sample_idx0, seed_mix, width, res_y]
+    cam:     (16,) f32   [pos(3), right(3), up(3), dist*fwd(3), cell,
+                          vres_x/2, vres_y/2, pad]
+    tri:     (T, 9) f32  [v1, e1, e2]
+    tab:     (T, 12) f32 shade table (albedo, emit, rough, n, is_emit, is_spec)
+    out film: (3, tile_rows, 128) f32 radiance SUM over the spp samples.
+    """
+    s0 = iparams_ref[0]
+    seed_mix = iparams_ref[1].astype(jnp.uint32)
+    width = iparams_ref[2]
+    res_y = iparams_ref[3]
+
+    tile = pl.program_id(0)
+    pix = (tile * (tile_rows * LANES)
+           + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0) * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1))
+    w = pix % width
+    h = pix // width
+
+    # Per-pixel base seed (shader.h:286 discipline; see rng.sample_seed).
+    pix_seed = (h.astype(jnp.uint32)
+                + w.astype(jnp.uint32) * res_y.astype(jnp.uint32)
+                + np.uint32(1))
+
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+
+    px, py, pz = cam_ref[0], cam_ref[1], cam_ref[2]
+    rx, ry, rz = cam_ref[3], cam_ref[4], cam_ref[5]
+    ux, uy, uz = cam_ref[6], cam_ref[7], cam_ref[8]
+    fx, fy, fz = cam_ref[9], cam_ref[10], cam_ref[11]
+    cell, hvx, hvy = cam_ref[12], cam_ref[13], cam_ref[14]
+
+    def one_bounce(carry):
+        (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+         rad_r, rad_g, rad_b, alive, seed) = carry
+
+        # ---- dense intersection over all triangles, with the shading
+        # constants of the current-best triangle selected in the same pass
+        # (the "gather" is 12 predicated selects per candidate, fused right
+        # after the hit test — no second loop, no argmin) -----------------
+        best_t = jnp.full((tile_rows, LANES), FLOAT_INF, jnp.float32)
+        found = jnp.zeros((tile_rows, LANES), bool)
+        feats = [jnp.zeros((tile_rows, LANES), jnp.float32)
+                 for _ in range(12)]
+        for t in range(n_tris):
+            v1x, v1y, v1z = tri_ref[t, 0], tri_ref[t, 1], tri_ref[t, 2]
+            e1x, e1y, e1z = tri_ref[t, 3], tri_ref[t, 4], tri_ref[t, 5]
+            e2x, e2y, e2z = tri_ref[t, 6], tri_ref[t, 7], tri_ref[t, 8]
+
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx, sy, sz = ox - v1x, oy - v1y, oz - v1z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = ((jnp.abs(a) >= EPS) & (u >= 0.0) & (u <= 1.0)
+                  & (v >= 0.0) & (u + v <= 1.0) & (tt > 0.0)
+                  & (tt < best_t))
+            best_t = jnp.where(ok, tt, best_t)
+            found = found | ok
+            for c in range(12):
+                feats[c] = jnp.where(ok, tab_ref[t, c], feats[c])
+        (alb_r, alb_g, alb_b, em_r, em_g, em_b, rough,
+         nx, ny, nz, f_emit, f_spec) = feats
+
+        hit = found & alive
+        hitf = hit.astype(jnp.float32)
+        rad_r = rad_r + hitf * thr_r * em_r
+        rad_g = rad_g + hitf * thr_g * em_g
+        rad_b = rad_b + hitf * thr_b * em_b
+
+        cont = hit & (f_emit < 0.5)
+        contf = cont.astype(jnp.float32)
+
+        # double-sided flip toward the ray (triangle.h:48)
+        ndotd = nx * dx + ny * dy + nz * dz
+        flip = jnp.where(ndotd < 0.0, 1.0, -1.0)
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+        # ---- bounce direction (materials.py formulas) -----------------
+        seed, u1 = _rand01(seed)
+        seed, u2 = _rand01(seed)
+        xx = 2.0 * u1 - 1.0
+        ct = jnp.sqrt(jnp.maximum(1.0 - xx * xx, 0.0))
+        phi = np.float32(2.0 * np.pi) * u2
+        sdx = ct * jnp.cos(phi)
+        sdy = ct * jnp.sin(phi)
+        sdz = -xx
+        sflip = jnp.where(sdx * nx + sdy * ny + sdz * nz < 0.0, -1.0, 1.0)
+        ndx, ndy, ndz = sdx * sflip, sdy * sflip, sdz * sflip
+
+        if has_specular:
+            # mirror + first-acceptable-of-K cube jitters
+            ddn = 2.0 * (dx * nx + dy * ny + dz * nz)
+            mx, my, mz = dx - ddn * nx, dy - ddn * ny, dz - ddn * nz
+            cands = []
+            for _ in range(spec_tries):
+                seed, c1 = _rand01(seed)
+                seed, c2 = _rand01(seed)
+                seed, c3 = _rand01(seed)
+                cands.append((c1, c2, c3))
+            cx, cy, cz = mx, my, mz  # fallback: pure mirror
+            for c1, c2, c3 in reversed(cands):
+                jx = mx + (c1 - 0.5) * rough
+                jy = my + (c2 - 0.5) * rough
+                jz = mz + (c3 - 0.5) * rough
+                ok = (jx * nx + jy * ny + jz * nz) >= 0.0
+                cx = jnp.where(ok, jx, cx)
+                cy = jnp.where(ok, jy, cy)
+                cz = jnp.where(ok, jz, cz)
+            inv = jax.lax.rsqrt(cx * cx + cy * cy + cz * cz)
+            sx_, sy_, sz_ = cx * inv, cy * inv, cz * inv
+            spec = f_spec > 0.5
+            ndx = jnp.where(spec, sx_, ndx)
+            ndy = jnp.where(spec, sy_, ndy)
+            ndz = jnp.where(spec, sz_, ndz)
+
+        cos = nx * ndx + ny * ndy + nz * ndz
+        w2c = 2.0 * cos
+        thr_r = thr_r * jnp.where(cont, w2c * alb_r, 1.0)
+        thr_g = thr_g * jnp.where(cont, w2c * alb_g, 1.0)
+        thr_b = thr_b * jnp.where(cont, w2c * alb_b, 1.0)
+
+        hx_ = ox + dx * best_t
+        hy_ = oy + dy * best_t
+        hz_ = oz + dz * best_t
+        bias = np.float32(SHIFT_BIAS)
+        ox = jnp.where(cont, hx_ + nx * bias, ox)
+        oy = jnp.where(cont, hy_ + ny * bias, oy)
+        oz = jnp.where(cont, hz_ + nz * bias, oz)
+        dx = jnp.where(cont, ndx, dx)
+        dy = jnp.where(cont, ndy, dy)
+        dz = jnp.where(cont, ndz, dz)
+        del contf
+        return (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+                rad_r, rad_g, rad_b, cont, seed)
+
+    def one_sample(s, acc):
+        acc_r, acc_g, acc_b = acc
+        sidx = (s0 + s).astype(jnp.uint32)
+        seed = _hash(pix_seed ^ (sidx * _GOLDEN))
+        seed = _hash(seed ^ seed_mix)
+
+        seed, u1 = _rand01(seed)
+        seed, u2 = _rand01(seed)
+        x = (wf + u1) * cell - hvx
+        y = (hf + u2) * cell - hvy
+        dx = x * rx + y * ux + fx
+        dy = x * ry + y * uy + fy
+        dz = x * rz + y * uz + fz
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        dx, dy, dz = dx * inv, dy * inv, dz * inv
+
+        zeros = jnp.zeros((tile_rows, LANES), jnp.float32)
+        ones = jnp.ones((tile_rows, LANES), jnp.float32)
+        carry = (zeros + px, zeros + py, zeros + pz, dx, dy, dz,
+                 ones, ones, ones, zeros, zeros, zeros,
+                 jnp.ones((tile_rows, LANES), bool), seed)
+        carry = jax.lax.fori_loop(0, depth, lambda _, c: one_bounce(c),
+                                  carry)
+        rad_r, rad_g, rad_b = carry[9], carry[10], carry[11]
+        return acc_r + rad_r, acc_g + rad_g, acc_b + rad_b
+
+    zeros = jnp.zeros((tile_rows, LANES), jnp.float32)
+    acc_r, acc_g, acc_b = jax.lax.fori_loop(
+        0, spp, one_sample, (zeros, zeros, zeros))
+    film_ref[0] = acc_r
+    film_ref[1] = acc_g
+    film_ref[2] = acc_b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_rows", "n_tris", "depth", "spp", "has_specular",
+                     "width", "height", "interpret"),
+)
+def _launch(iparams, cam_params, tri_params, table, *, tile_rows, n_tris,
+            depth, spp, has_specular, width, height, interpret=False):
+    n_pix = width * height
+    rays_per_tile = tile_rows * LANES
+    assert n_pix % rays_per_tile == 0, (n_pix, rays_per_tile)
+    n_tiles = n_pix // rays_per_tile
+
+    kern = functools.partial(
+        _kernel, tile_rows=tile_rows, n_tris=n_tris, depth=depth, spp=spp,
+        has_specular=has_specular, spec_tries=mat.SPECULAR_TRIES)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, tile_rows, LANES), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n_pix // LANES, LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(iparams, cam_params, tri_params, table)
+    # (3, H*W/128, 128) -> (H, W, 3)
+    return out.reshape(3, height, width).transpose(1, 2, 0)
+
+
+def _camera_params(cam: Camera) -> np.ndarray:
+    p = np.zeros(16, np.float32)
+    p[0:3] = np.asarray(cam.pos)
+    p[3:6] = np.asarray(cam.right)
+    p[6:9] = np.asarray(cam.up)
+    p[9:12] = np.asarray(cam.forward) * float(cam.distance)
+    p[12] = float(cam.cell_size)
+    p[13] = float(cam.v_res[0]) * 0.5
+    p[14] = float(cam.v_res[1]) * 0.5
+    return p
+
+
+def _triangle_params(scene: Scene) -> jnp.ndarray:
+    """(T, 9) = [v1, edge1, edge2] per triangle — only the REAL triangles;
+    the dense loop is generated per triangle so padding is just dropped."""
+    n = scene.num_tris
+    v1 = scene.v1[:n]
+    return jnp.concatenate(
+        [v1, scene.v2[:n] - v1, scene.v3[:n] - v1], axis=-1)
+
+
+def render_film_pallas(camera: Camera, scene: Scene, samples: int,
+                       depth: int = 5, *, seed: int = 1,
+                       tile_rows: int = DEFAULT_TILE_ROWS,
+                       spp_per_call: Optional[int] = None,
+                       interpret: bool = False,
+                       verbose: bool = False) -> Film:
+    """Render the sample-averaged linear film with the Pallas megakernel."""
+    if scene.num_tris > MAX_PALLAS_TRIS:
+        raise ValueError(
+            f"pallas megakernel supports <= {MAX_PALLAS_TRIS} triangles "
+            f"(got {scene.num_tris}); use the BVH backend")
+    width, height = camera.res
+    n_pix = width * height
+    while n_pix % (tile_rows * LANES):
+        tile_rows //= 2
+        if tile_rows == 0:
+            raise ValueError(f"image size {width}x{height} not divisible "
+                             f"into {LANES}-lane tiles")
+
+    if spp_per_call is None:
+        # target ~2^24 ray segments per dispatch
+        spp_per_call = max(1, min(samples, (1 << 24) // n_pix))
+
+    cam_params = jnp.asarray(_camera_params(camera))
+    tri_params = _triangle_params(scene)
+    table = shade_table(scene)[: scene.num_tris]
+    # Same mix constant as rng.sample_seed, stored as the int32 bit pattern
+    # (the kernel reinterprets it back to uint32).
+    mix = (int(seed) * 0x85EBCA6B) & 0xFFFFFFFF
+    seed_mix = mix - (1 << 32) if mix >= (1 << 31) else mix
+
+    film = jnp.zeros((height, width, 3), jnp.float32)
+    s = 0
+    while s < samples:
+        spp = min(spp_per_call, samples - s)
+        iparams = jnp.array([s, seed_mix, width, height], jnp.int32)
+        film = film + _launch(
+            iparams, cam_params, tri_params, table,
+            tile_rows=tile_rows, n_tris=scene.num_tris, depth=depth,
+            spp=spp, has_specular=scene.has_specular,
+            width=width, height=height, interpret=interpret)
+        s += spp
+        if verbose:
+            print(f"\rRendered: {s}/{samples} spp.", end="", flush=True)
+    if verbose:
+        print()
+    film = film / np.float32(samples)
+    return Film((width, height), data=film.block_until_ready())

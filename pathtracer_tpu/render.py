@@ -1,0 +1,191 @@
+"""Render drivers (L4), the TPU-native analog of render.h:62-152.
+
+The reference has three drivers — a single-threaded recursive CPU loop, a
+chunked OpenGL dispatch, and an SFML realtime loop.  Here there is ONE
+driver: a jit-compiled tile pass (all pixels of a row-tile x a sample block,
+traced as one fused XLA program) dispatched in a host loop over row tiles
+and sample blocks.  The host loop is the analog of the reference's chunked
+GPU dispatch (render.h:128-139): it bounds device memory (the dense
+rays x triangles intermediates of the brute-force intersector) and gives
+natural progress reporting; each pass is internally a ``lax.scan`` over
+sample blocks so dispatch overhead amortizes away.
+
+Backend selection ('auto'):
+  * scenes with <= BRUTE_MAX padded triangles  -> dense brute-force
+    intersection (see ops/intersect.py) — all headline scenes;
+  * larger scenes -> flat-BVH traversal (the reference's hot path shape).
+  * 'pallas' -> fused Pallas TPU megakernel (ops/pallas), brute-force
+    intersection fully in VMEM; fastest path on real TPU hardware.
+
+RNG discipline: one independent hash stream per (pixel, sample) pair
+(rng.sample_seed), consumed jitter-first-then-bounces exactly like the GPU
+megakernel (shader.h:273-294).  This makes the sample axis order-independent
+and therefore shardable across devices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rng as prng
+from .bvh import FlatBVH, build_bvh
+from .camera import Camera, get_rays
+from .image import Film
+from .ops import intersect as isect
+from .ops import trace as trace_ops
+from .scene import Scene
+from .utils.timer import Timer
+
+BRUTE_MAX = 512          # max padded triangle count for the dense path
+TARGET_RAYS_PER_PASS = 1 << 21   # rays traced per jitted tile pass
+TARGET_RAYS_PER_CALL = 1 << 24   # rays per host dispatch (scan of passes)
+
+_STEP_CACHE = {}
+
+
+def _tile_step(backend: str, tile_h: int, width: int, res_y: int, spp_b: int,
+               n_blocks: int, depth: int, base_seed: int,
+               max_leaf: int, stack_size: int):
+    """Build (and cache) the jitted pass: trace ``n_blocks`` sample blocks of
+    ``spp_b`` samples for a ``tile_h x width`` pixel tile, returning the tile's
+    radiance SUM over those samples."""
+    key = (backend, tile_h, width, res_y, spp_b, n_blocks, depth, base_seed,
+           max_leaf, stack_size)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+
+    def step(scene: Scene, table, cam: Camera, bvh: Optional[FlatBVH],
+             h0, sidx0):
+        w = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 1)
+        h = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 0) + h0
+
+        if backend == "bvh":
+            def intersect(o, d):
+                flat_o = o.reshape(-1, 3)
+                flat_d = d.reshape(-1, 3)
+                t, tid = isect.intersect_bvh(
+                    flat_o, flat_d, bvh, scene.v1, scene.v2, scene.v3,
+                    max_leaf=max_leaf, stack_size=stack_size)
+                return t.reshape(o.shape[:-1]), tid.reshape(o.shape[:-1])
+        else:
+            def intersect(o, d):
+                return isect.intersect_brute(
+                    o, d, scene.v1, scene.v2, scene.v3)
+
+        def one_block(acc, k):
+            # Global sample indices for this block: (spp_b, 1, 1).
+            sidx = (sidx0 + k * spp_b
+                    + jax.lax.broadcasted_iota(jnp.int32, (spp_b, 1, 1), 0))
+            state = prng.sample_seed(w[None], h[None], res_y, sidx, base_seed)
+            state, u1 = prng.rand01(state)
+            state, u2 = prng.rand01(state)
+            ray_o, ray_d = get_rays(cam, w[None], h[None], u1, u2)
+            rad = trace_ops.trace_rays(table, intersect, ray_o, ray_d,
+                                       depth, state,
+                                       has_specular=scene.has_specular)
+            return acc + jnp.sum(rad, axis=0), None
+
+        acc0 = jnp.zeros((tile_h, width, 3), jnp.float32)
+        acc, _ = jax.lax.scan(one_block, acc0,
+                              jnp.arange(n_blocks, dtype=jnp.int32))
+        return acc
+
+    fn = jax.jit(step, static_argnames=())
+    _STEP_CACHE[key] = fn
+    return fn
+
+
+def _plan(width: int, height: int, samples: int, n_tris: int):
+    """Choose (tile_h, spp_b, blocks_per_call) to hit the ray-count targets.
+
+    The dense intersector materializes O(rays * n_tris) floats transiently;
+    scale the per-pass ray budget down for bigger scenes."""
+    per_pass = max(1 << 16, TARGET_RAYS_PER_PASS // max(1, n_tris // 32))
+    tile_h = max(1, min(height, per_pass // max(1, width)))
+    while height % tile_h:
+        tile_h -= 1
+    spp_b = max(1, min(samples, per_pass // (tile_h * width)))
+    blocks = max(1, min(samples // spp_b,
+                        TARGET_RAYS_PER_CALL // (tile_h * width * spp_b)))
+    return tile_h, spp_b, blocks
+
+
+def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
+                *, bvh: Optional[FlatBVH] = None, seed: int = prng.SEED,
+                backend: str = "auto", verbose: bool = False) -> Film:
+    """Render the sample-averaged LINEAR film (no gamma).
+
+    The driver equivalent of the loop cores of render_cpu/render_gpu
+    (render.h:80-88, 128-139), minus color correction and file output —
+    see :func:`render` for the full pipeline."""
+    if scene.num_tris == 0:
+        raise ValueError("No triangles in scene.")
+    if backend == "auto":
+        backend = "brute" if scene.padded_size <= BRUTE_MAX else "bvh"
+    if backend == "pallas":
+        from .ops.pallas import trace_kernel
+        return trace_kernel.render_film_pallas(
+            camera, scene, samples, depth, seed=seed, verbose=verbose)
+    if backend == "bvh" and bvh is None:
+        bvh = build_bvh(scene)
+
+    width, height = camera.res
+    tile_h, spp_b, blocks = _plan(width, height, samples, scene.padded_size)
+    table = trace_ops.shade_table(scene)
+    max_leaf = bvh.max_leaf if bvh is not None else 0
+    stack_size = bvh.stack_size() if bvh is not None else 0
+
+    film = jnp.zeros((height, width, 3), jnp.float32)
+    done = 0
+    total = (height // tile_h) * ((samples + spp_b - 1) // spp_b)
+    for h0 in range(0, height, tile_h):
+        s = 0
+        while s < samples:
+            nb = min(blocks, (samples - s) // spp_b)
+            if nb == 0:
+                nb, this_spp = 1, samples - s
+            else:
+                this_spp = spp_b
+            step = _tile_step(backend, tile_h, width, height, this_spp, nb,
+                              depth, seed, max_leaf, stack_size)
+            acc = step(scene, table, camera, bvh,
+                       jnp.int32(h0), jnp.int32(s))
+            film = film.at[h0 : h0 + tile_h].add(acc)
+            s += this_spp * nb
+            done += nb
+            if verbose:
+                print(f"\rRendered: {done}/{total} passes.",
+                      end="", flush=True)
+    film = film / np.float32(samples)
+    if verbose:
+        print()
+    return Film((width, height), data=film.block_until_ready())
+
+
+def render(camera: Camera, scene: Scene, samples: int, depth: int = 5,
+           filename: Optional[str] = None, *, bvh: Optional[FlatBVH] = None,
+           seed: int = prng.SEED, backend: str = "auto", gamma: float = 2.2,
+           verbose: bool = True) -> Film:
+    """Full render pipeline (render_cpu/render_gpu analog, render.h:62-152):
+    trace, average, gamma-correct at 2.2, optionally save a PNG.  Returns the
+    gamma-corrected Film and prints wall-clock + throughput like the
+    reference's Timer/progress output."""
+    timer = Timer()
+    film = render_film(camera, scene, samples, depth, bvh=bvh, seed=seed,
+                       backend=backend, verbose=verbose)
+    seconds = timer.seconds()
+    if verbose:
+        w, h = camera.res
+        rays = w * h * samples * depth
+        print(f"Done in {seconds:.2f} seconds "
+              f"({rays / max(seconds, 1e-9):.3e} rays/s).")
+    film.gamma_correct(gamma)
+    if filename:
+        film.save_png(filename)
+        if verbose:
+            print(f"Saved to {filename}")
+    return film
