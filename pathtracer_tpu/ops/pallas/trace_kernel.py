@@ -51,7 +51,7 @@ MAX_PALLAS_TRIS = 512           # beyond this, use the BVH path
 # rng.py constants (must match rng.sample_seed / rng.rand01 bit for bit)
 _GOLDEN = np.uint32(0x9E3779B9)
 _SEEDMIX = np.uint32(0x85EBCA6B)
-_INV_U32_MAX = np.float32(1.0 / 4294967295.0)
+_INV_U24 = np.float32(1.0 / 16777216.0)
 
 
 def _hash(s):
@@ -66,8 +66,10 @@ def _hash(s):
 
 
 def _rand01(s):
+    # top-24-bit uniform; see rng.rand01 (uint32->f32 unsupported in Mosaic)
     s = _hash(s)
-    return s, s.astype(jnp.float32) * _INV_U32_MAX
+    u = (s >> 8).astype(jnp.int32).astype(jnp.float32)
+    return s, u * _INV_U24
 
 
 def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,

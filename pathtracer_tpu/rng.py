@@ -58,12 +58,18 @@ def hash_u32(state):
 
 
 def rand01(state):
-    """Advance the hash state and return (new_state, uniform in [0, 1]).
+    """Advance the hash state and return (new_state, uniform in [0, 1)).
 
-    Matches ``shader.h:89``: float(state) / 4294967295.
+    The reference computes float(state)/4294967295 (shader.h:89); float32
+    only resolves ~24 bits of that anyway, so we use the top 24 bits
+    directly: u = (state >> 8) / 2^24.  Statistically identical, and the
+    uint32 -> int32 -> float32 conversion chain is exactly expressible on
+    the TPU vector unit (Mosaic has no uint32->float cast), keeping the
+    Pallas kernel bit-identical to this path.
     """
     state = hash_u32(state)
-    return state, state.astype(jnp.float32) * jnp.float32(1.0 / 4294967295.0)
+    u = (state >> 8).astype(jnp.int32).astype(jnp.float32)
+    return state, u * jnp.float32(1.0 / 16777216.0)
 
 
 def randn01(state, n: int):

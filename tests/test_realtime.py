@@ -1,0 +1,78 @@
+"""Progressive-accumulation state machine tests (render.h:219-387 analog)."""
+
+import os
+
+import numpy as np
+
+import pathtracer_tpu as pt
+from pathtracer_tpu.realtime import RealtimeSession, render_realtime
+
+
+def _session(**kw):
+    cam, scene = pt.corner_scene(res=(16, 16))
+    return RealtimeSession(cam, scene, depth=3, frame_samples=4, **kw)
+
+
+def test_accumulation_is_running_mean():
+    s = _session()
+    f1 = s.step()
+    assert s.frame == 1
+    f2 = s.step()
+    assert s.frame == 2
+    # accumulating frames reduces variance; image stays in range
+    assert f1.shape == (16, 16, 3)
+    assert np.all(f2 >= 0) and np.isfinite(f2).all()
+
+
+def test_camera_move_resets_accumulation():
+    s = _session()
+    s.step()
+    s.step()
+    assert s.frame == 2
+    s.key("w")
+    assert s.frame == 0
+    assert np.all(s._accum == 0)
+    np.testing.assert_allclose(
+        np.asarray(s.camera.pos),
+        np.asarray(pt.move(s.initial_camera, pt.FORWARD, 1.0).pos),
+        atol=1e-6)
+
+
+def test_reset_key_restores_camera():
+    s = _session()
+    for k in ("w", "a", "up", "left", "space"):
+        s.key(k)
+    s.key("r")
+    np.testing.assert_allclose(np.asarray(s.camera.pos),
+                               np.asarray(s.initial_camera.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s.camera.forward),
+                               np.asarray(s.initial_camera.forward),
+                               atol=1e-6)
+
+
+def test_screenshot(tmp_path):
+    s = _session(screenshot_dir=str(tmp_path))
+    s.step()
+    s.key("p")
+    path = os.path.join(str(tmp_path), "1.png")
+    assert os.path.exists(path)
+    from pathtracer_tpu.image import read_png
+    assert read_png(path).shape == (16, 16, 3)
+
+
+def test_headless_driver_with_key_script(tmp_path):
+    cam, scene = pt.corner_scene(res=(16, 16))
+    sess = render_realtime(cam, scene, depth=2, frame_samples=2,
+                           screenshot_dir=str(tmp_path), frames=4,
+                           keys=",w,,p")
+    # 'w' at loop-iter 1 reset accumulation; 3 steps ran since ('p' at
+    # iter 3 only screenshots, no reset)
+    assert sess.frame == 3
+    assert "pos:" in sess.title
+
+
+def test_non_accumulate_mode():
+    s = _session(accumulate=False)
+    f1 = s.step()
+    f2 = s.step()
+    np.testing.assert_allclose(f1, f2)  # same seed, fresh film each frame
