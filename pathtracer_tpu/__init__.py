@@ -52,6 +52,8 @@ from .scene import (  # noqa: F401
 from .bvh import FlatBVH, build_bvh, print_tree  # noqa: F401
 from .image import Film, psnr, read_png, write_png  # noqa: F401
 from .render import render, render_film  # noqa: F401
+from .obj_loader import load_obj, load_obj_scene  # noqa: F401
+from .realtime import RealtimeSession, render_realtime  # noqa: F401
 from .utils.timer import Timer  # noqa: F401
 
 __version__ = "0.1.0"

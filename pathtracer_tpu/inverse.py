@@ -77,9 +77,14 @@ def recover_materials(
     lr: float = 5e-2,
     seed: int = prng.SEED,
     params0: Optional[Dict[str, jnp.ndarray]] = None,
+    optimize: tuple = ("albedo", "emit", "roughness"),
     verbose: bool = False,
 ):
     """Gradient-descend material parameters to match ``target`` (linear film).
+
+    ``optimize`` selects which parameter groups move; the rest stay frozen
+    at their initial values (useful to break the emission-vs-albedo
+    ambiguity when only albedo is unknown).
 
     Returns (materials, losses): the recovered physical material arrays and
     the per-step loss history.
@@ -89,6 +94,7 @@ def recover_materials(
     opt = optax.adam(lr)
     params = params0 if params0 is not None else init_params(scene)
     opt_state = opt.init(params)
+    frozen = {k: (0.0 if k in optimize else 1.0) for k in params}
 
     @jax.jit
     def step(params, opt_state, k):
@@ -100,6 +106,7 @@ def recover_materials(
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(g, opt_state, params)
+        updates = {k: u * (1.0 - frozen[k]) for k, u in updates.items()}
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

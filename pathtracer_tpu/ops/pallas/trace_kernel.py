@@ -85,15 +85,18 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
     """
     s0 = iparams_ref[0]
     seed_mix = iparams_ref[1].astype(jnp.uint32)
-    width = iparams_ref[2]
+    width_log2 = iparams_ref[2]   # image width as a power of two
     res_y = iparams_ref[3]
 
     tile = pl.program_id(0)
     pix = (tile * (tile_rows * LANES)
            + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1))
-    w = pix % width
-    h = pix // width
+    # w = pix % width, h = pix // width — via shift/mask (vector integer
+    # division lowers catastrophically in Mosaic; the launcher guarantees
+    # power-of-two widths)
+    w = pix & ((1 << width_log2) - 1)
+    h = pix >> width_log2
 
     # Per-pixel base seed (shader.h:286 discipline; see rng.sample_seed).
     pix_seed = (h.astype(jnp.uint32)
@@ -109,6 +112,10 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
     fx, fy, fz = cam_ref[9], cam_ref[10], cam_ref[11]
     cell, hvx, hvy = cam_ref[12], cam_ref[13], cam_ref[14]
 
+    # NOTE: the bounce loop is UNROLLED in Python (depth is static and
+    # small).  A lax.fori_loop here would carry ~100 vector registers
+    # (including i1 masks) through an scf.for, which Mosaic fails to
+    # legalize; unrolling keeps only the 3 spp-accumulators as loop state.
     def one_bounce(carry):
         (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
          rad_r, rad_g, rad_b, alive, seed) = carry
@@ -241,8 +248,8 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
         carry = (zeros + px, zeros + py, zeros + pz, dx, dy, dz,
                  ones, ones, ones, zeros, zeros, zeros,
                  jnp.ones((tile_rows, LANES), bool), seed)
-        carry = jax.lax.fori_loop(0, depth, lambda _, c: one_bounce(c),
-                                  carry)
+        for _ in range(depth):
+            carry = one_bounce(carry)
         rad_r, rad_g, rad_b = carry[9], carry[10], carry[11]
         return acc_r + rad_r, acc_g + rad_g, acc_b + rad_b
 
@@ -323,6 +330,11 @@ def render_film_pallas(camera: Camera, scene: Scene, samples: int,
             f"pallas megakernel supports <= {MAX_PALLAS_TRIS} triangles "
             f"(got {scene.num_tris}); use the BVH backend")
     width, height = camera.res
+    if width & (width - 1):
+        raise ValueError(
+            f"pallas backend requires a power-of-two image width "
+            f"(got {width}); use the XLA backend for other sizes")
+    width_log2 = width.bit_length() - 1
     n_pix = width * height
     while n_pix % (tile_rows * LANES):
         tile_rows //= 2
@@ -346,7 +358,7 @@ def render_film_pallas(camera: Camera, scene: Scene, samples: int,
     s = 0
     while s < samples:
         spp = min(spp_per_call, samples - s)
-        iparams = jnp.array([s, seed_mix, width, height], jnp.int32)
+        iparams = jnp.array([s, seed_mix, width_log2, height], jnp.int32)
         film = film + _launch(
             iparams, cam_params, tri_params, table,
             tile_rows=tile_rows, n_tris=scene.num_tris, depth=depth,

@@ -129,6 +129,7 @@ class RealtimeSession:
         """Save the current display to ``<dir>/<frame>.png``
         (render.h:339-351)."""
         if filename is None:
+            os.makedirs(self.screenshot_dir, exist_ok=True)
             filename = os.path.join(self.screenshot_dir,
                                     f"{self.frame}.png")
         w, h = self.camera.res
