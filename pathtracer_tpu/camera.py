@@ -38,15 +38,21 @@ class Camera:
     cell_size: jnp.ndarray  # scalar, v_res.x / res.x (camera.h:60)
     distance: jnp.ndarray  # scalar image-plane distance
     res: Tuple[int, int]   # (width, height) — static
+    # Static sub-pixel convention: the reference GPU megakernel samples at
+    # (w + 0.5 + u)*cell (gl_FragCoord's half-pixel offset PLUS the jitter,
+    # shader.h:274-277), while the CPU path samples at (w + u)*cell
+    # (camera.h:64).  The golden images are GPU renders, so 0.5 is the
+    # default; pass pixel_offset=0.0 for CPU-convention parity.
+    pixel_offset: float = 0.5
 
     def tree_flatten(self):
         children = (self.pos, self.forward, self.up, self.right,
                     self.world_up, self.v_res, self.cell_size, self.distance)
-        return children, self.res
+        return children, (self.res, self.pixel_offset)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, res=aux)
+        return cls(*children, res=aux[0], pixel_offset=aux[1])
 
     @property
     def width(self) -> int:
@@ -57,7 +63,8 @@ class Camera:
         return self.res[1]
 
 
-def make_camera(pos, forward, up, res, fov, distance=1.0) -> Camera:
+def make_camera(pos, forward, up, res, fov, distance=1.0,
+                pixel_offset=0.5) -> Camera:
     """Construct a camera exactly as camera.h:33-61.
 
     ``fov`` is the horizontal field of view in radians (callers typically pass
@@ -90,6 +97,7 @@ def make_camera(pos, forward, up, res, fov, distance=1.0) -> Camera:
         cell_size=jnp.asarray(cell),
         distance=jnp.asarray(np.float32(distance)),
         res=(w, h),
+        pixel_offset=float(pixel_offset),
     )
 
 
@@ -105,8 +113,9 @@ def get_rays(cam: Camera, w, h, u1, u2):
     and rotates it by the basis rows; written out, the world direction is
         x*right + y*up + distance*forward.
     """
-    x = (w.astype(jnp.float32) + u1) * cam.cell_size - cam.v_res[0] * 0.5
-    y = (h.astype(jnp.float32) + u2) * cam.cell_size - cam.v_res[1] * 0.5
+    off = jnp.float32(cam.pixel_offset)
+    x = (w.astype(jnp.float32) + off + u1) * cam.cell_size - cam.v_res[0] * 0.5
+    y = (h.astype(jnp.float32) + off + u2) * cam.cell_size - cam.v_res[1] * 0.5
     d = (x[..., None] * cam.right + y[..., None] * cam.up
          + cam.distance * cam.forward)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)

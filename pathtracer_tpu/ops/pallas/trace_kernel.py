@@ -111,6 +111,7 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
     ux, uy, uz = cam_ref[6], cam_ref[7], cam_ref[8]
     fx, fy, fz = cam_ref[9], cam_ref[10], cam_ref[11]
     cell, hvx, hvy = cam_ref[12], cam_ref[13], cam_ref[14]
+    pix_off = cam_ref[15]
 
     # NOTE: the bounce loop is UNROLLED in Python (depth is static and
     # small).  A lax.fori_loop here would carry ~100 vector registers
@@ -235,8 +236,8 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
 
         seed, u1 = _rand01(seed)
         seed, u2 = _rand01(seed)
-        x = (wf + u1) * cell - hvx
-        y = (hf + u2) * cell - hvy
+        x = (wf + pix_off + u1) * cell - hvx
+        y = (hf + pix_off + u2) * cell - hvy
         dx = x * rx + y * ux + fx
         dy = x * ry + y * uy + fy
         dz = x * rz + y * uz + fz
@@ -306,6 +307,7 @@ def _camera_params(cam: Camera) -> np.ndarray:
     p[12] = float(cam.cell_size)
     p[13] = float(cam.v_res[0]) * 0.5
     p[14] = float(cam.v_res[1]) * 0.5
+    p[15] = float(cam.pixel_offset)
     return p
 
 

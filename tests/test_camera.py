@@ -6,9 +6,9 @@ import pathtracer_tpu as pt
 from pathtracer_tpu import camera as cam_mod
 
 
-def _cornell_cam(res=(8, 8)):
+def _cornell_cam(res=(8, 8), pixel_offset=0.0):
     return pt.make_camera((278, 278, -500), (0, 0, 1), (0, 1, 0), res,
-                          60 * pt.DEG2RAD, 1.0)
+                          60 * pt.DEG2RAD, 1.0, pixel_offset=pixel_offset)
 
 
 def test_camera_basis_orthonormal():
@@ -38,8 +38,8 @@ def test_degenerate_camera_raises():
 
 
 def test_center_ray_points_forward():
-    cam = _cornell_cam(res=(9, 9))
-    # center pixel with jitter 0.5 lands exactly on the axis
+    # CPU convention (camera.h:64): offset 0, center pixel + jitter 0.5
+    cam = _cornell_cam(res=(9, 9), pixel_offset=0.0)
     w = jnp.array([4], jnp.int32)
     h = jnp.array([4], jnp.int32)
     o, d = pt.get_rays(cam, w, h, jnp.array([0.5]), jnp.array([0.5]))
@@ -47,8 +47,23 @@ def test_center_ray_points_forward():
     np.testing.assert_allclose(np.asarray(d)[0], [0, 0, 1], atol=1e-6)
 
 
+def test_gpu_pixel_convention_shifts_half_cell():
+    # GPU convention (shader.h:274-277): gl_FragCoord's +0.5 on top of the
+    # jitter; the golden images bake this in, so it's the default.
+    cam0 = _cornell_cam(res=(9, 9), pixel_offset=0.0)
+    cam5 = _cornell_cam(res=(9, 9), pixel_offset=0.5)
+    # 0.5 is make_camera's default (goldens are GPU renders)
+    assert pt.make_camera((0, 0, 0), (0, 0, 1), (0, 1, 0), (4, 4),
+                          1.0).pixel_offset == 0.5
+    w = jnp.array([4], jnp.int32)
+    h = jnp.array([4], jnp.int32)
+    _, d0 = pt.get_rays(cam0, w, h, jnp.array([0.75]), jnp.array([0.25]))
+    _, d5 = pt.get_rays(cam5, w, h, jnp.array([0.25]), jnp.array([-0.25]))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d5), atol=1e-6)
+
+
 def test_corner_ray_direction_matches_manual_transform():
-    cam = _cornell_cam(res=(8, 8))
+    cam = _cornell_cam(res=(8, 8), pixel_offset=0.0)
     w = jnp.array([0], jnp.int32)
     h = jnp.array([7], jnp.int32)
     u = jnp.array([0.25])
