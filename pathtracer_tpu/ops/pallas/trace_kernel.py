@@ -45,7 +45,8 @@ from ...scene import Scene
 from ...ops.trace import shade_table
 
 LANES = 128
-DEFAULT_TILE_ROWS = 64          # rays per tile = TILE_ROWS * 128
+DEFAULT_TILE_ROWS = 32          # rays per tile = TILE_ROWS * 128 (swept on
+                                # v5e: 32 rows > 64 > 128 by a few %)
 MAX_PALLAS_TRIS = 512           # beyond this, use the BVH path
 
 # rng.py constants (must match rng.sample_seed / rng.rand01 bit for bit)
@@ -126,7 +127,6 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
         # (the "gather" is 12 predicated selects per candidate, fused right
         # after the hit test — no second loop, no argmin) -----------------
         best_t = jnp.full((tile_rows, LANES), FLOAT_INF, jnp.float32)
-        found = jnp.zeros((tile_rows, LANES), bool)
         feats = [jnp.zeros((tile_rows, LANES), jnp.float32)
                  for _ in range(12)]
         for t in range(n_tris):
@@ -150,13 +150,12 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
                   & (v >= 0.0) & (u + v <= 1.0) & (tt > 0.0)
                   & (tt < best_t))
             best_t = jnp.where(ok, tt, best_t)
-            found = found | ok
             for c in range(12):
                 feats[c] = jnp.where(ok, tab_ref[t, c], feats[c])
         (alb_r, alb_g, alb_b, em_r, em_g, em_b, rough,
          nx, ny, nz, f_emit, f_spec) = feats
 
-        hit = found & alive
+        hit = (best_t < FLOAT_INF) & alive
         hitf = hit.astype(jnp.float32)
         rad_r = rad_r + hitf * thr_r * em_r
         rad_g = rad_g + hitf * thr_g * em_g

@@ -114,6 +114,24 @@ def _plan(width: int, height: int, samples: int, n_tris: int):
     return tile_h, spp_b, blocks
 
 
+def _auto_backend(camera: Camera, scene: Scene) -> str:
+    """Pick the fastest valid backend: the fused Pallas megakernel on real
+    TPU hardware (small scenes, power-of-two width), the dense XLA path on
+    CPU or odd sizes, the BVH for big scenes."""
+    if scene.padded_size > BRUTE_MAX:
+        return "bvh"
+    width = camera.res[0]
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    from .ops.pallas.trace_kernel import MAX_PALLAS_TRIS
+    if (on_tpu and scene.num_tris <= MAX_PALLAS_TRIS
+            and width & (width - 1) == 0):
+        return "pallas"
+    return "brute"
+
+
 def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
                 *, bvh: Optional[FlatBVH] = None, seed: int = prng.SEED,
                 backend: str = "auto", verbose: bool = False) -> Film:
@@ -125,7 +143,7 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
     if scene.num_tris == 0:
         raise ValueError("No triangles in scene.")
     if backend == "auto":
-        backend = "brute" if scene.padded_size <= BRUTE_MAX else "bvh"
+        backend = _auto_backend(camera, scene)
     if backend == "pallas":
         from .ops.pallas import trace_kernel
         return trace_kernel.render_film_pallas(
@@ -164,6 +182,41 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
     if verbose:
         print()
     return Film((width, height), data=film.block_until_ready())
+
+
+def render_normals(camera: Camera, scene: Scene, *, seed: int = prng.SEED) -> Film:
+    """Debug view: first-hit double-sided normals (the ``normal_shade``
+    debug shader, shader.h:261-271).  One sample per pixel, center rays."""
+    width, height = camera.res
+    table = trace_ops.shade_table(scene)
+
+    @jax.jit
+    def run(scene, table, cam):
+        w = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+        h = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+        half = jnp.full((height, width), 0.5, jnp.float32)
+        ray_o, ray_d = get_rays(cam, w, h, half, half)
+        t, tid = isect.intersect_brute(ray_o, ray_d, scene.v1, scene.v2,
+                                       scene.v3)
+        feat = trace_ops.gather_features(table, tid)
+        n = feat[..., 7:10]
+        flip = jnp.where(
+            jnp.sum(n * ray_d, axis=-1, keepdims=True) < 0.0, 1.0, -1.0)
+        return jnp.where((tid >= 0)[..., None], n * flip, 0.0)
+
+    return Film((width, height), data=np.asarray(run(scene, table, camera)))
+
+
+def render_debug_uv(res) -> Film:
+    """The ``#define DEBUG`` UV-gradient test shader (shader.h:311-320):
+    color = |uv| over [-1, 1]^2 — a pure pipeline smoke image."""
+    width, height = int(res[0]), int(res[1])
+    x = np.abs(np.linspace(-1, 1, width, dtype=np.float32))
+    y = np.abs(np.linspace(-1, 1, height, dtype=np.float32))
+    img = np.zeros((height, width, 3), np.float32)
+    img[..., 0] = x[None, :]
+    img[..., 1] = y[:, None]
+    return Film((width, height), data=img)
 
 
 def render(camera: Camera, scene: Scene, samples: int, depth: int = 5,

@@ -104,3 +104,30 @@ def test_emissive_direct_hit_equals_emit_color():
     np.testing.assert_allclose(
         np.asarray(film.data),
         np.broadcast_to([0.25, 0.5, 0.75], (8, 8, 3)), atol=1e-6)
+
+
+def test_render_normals_debug_view():
+    """normal_shade analog (shader.h:261-271): first-hit normals."""
+    cam, scene = pt.corner_scene(res=(16, 16))
+    film = pt.render_film.__module__  # module sanity
+    from pathtracer_tpu.render import render_normals
+    f = render_normals(cam, scene)
+    img = np.asarray(f.data)
+    assert img.shape == (16, 16, 3)
+    # hit pixels have unit normals; misses are black
+    norms = np.linalg.norm(img, axis=-1)
+    hits = norms > 0.5
+    assert hits.any() and (~hits).any()
+    np.testing.assert_allclose(norms[hits], 1.0, atol=1e-5)
+    # normals face the camera (flipped toward the ray)
+    d = np.asarray(cam.forward)
+    assert (img[hits] @ d < 1e-6).all()
+
+
+def test_render_debug_uv():
+    from pathtracer_tpu.render import render_debug_uv
+    f = render_debug_uv((8, 8))
+    img = np.asarray(f.data)
+    assert img[:, 0, 0].max() > 0.9   # left edge red ~1
+    assert img[0, :, 1].max() > 0.9   # bottom edge green ~1
+    assert np.all(img[..., 2] == 0)
