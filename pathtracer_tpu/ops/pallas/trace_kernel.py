@@ -47,6 +47,19 @@ from ...ops.trace import shade_table
 LANES = 128
 DEFAULT_TILE_ROWS = 32          # rays per tile = TILE_ROWS * 128 (swept on
                                 # v5e: 32 rows > 64 > 128 by a few %)
+
+# Use the VPU's approximate reciprocal + one Newton step for the
+# Möller–Trumbore determinant inverse instead of a full-precision divide
+# (~23-bit accurate; set False to restore exact division and bit-parity
+# with the XLA path).
+FAST_RECIP = True
+
+
+def _recip(a):
+    if not FAST_RECIP:
+        return 1.0 / a
+    r = pl.reciprocal(a, approx=True)
+    return r * (2.0 - a * r)  # one Newton–Raphson refinement
 MAX_PALLAS_TRIS = 512           # beyond this, use the BVH path
 
 # rng.py constants (must match rng.sample_seed / rng.rand01 bit for bit)
@@ -77,11 +90,16 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
             tile_rows: int, n_tris: int, depth: int, spp: int,
             has_specular: bool, spec_tries: int):
     """One film tile.  SMEM inputs:
-    iparams: (4,) int32  [sample_idx0, seed_mix, width, res_y]
+    iparams: (4,) int32  [sample_idx0, seed_mix, width_log2, res_y]
     cam:     (16,) f32   [pos(3), right(3), up(3), dist*fwd(3), cell,
-                          vres_x/2, vres_y/2, pad]
+                          vres_x/2, vres_y/2, pixel_offset]
     tri:     (T, 9) f32  [v1, e1, e2]
-    tab:     (T, 12) f32 shade table (albedo, emit, rough, n, is_emit, is_spec)
+    tab:     (T, 8) f32  PACKED shade table: [color(3), rough, n(3), flags]
+             where color = emit_color for EMIT triangles else albedo (at
+             most one is live per triangle — checked by the launcher), and
+             flags = 2 for EMIT / 1 for SPECULAR / 0 for DIFFUSE.  Packing
+             cuts the per-triangle winner-select chain from 13 to 9 vector
+             selects; the per-ray unpack costs ~8 ops per bounce total.
     out film: (3, tile_rows, 128) f32 radiance SUM over the spp samples.
     """
     s0 = iparams_ref[0]
@@ -128,7 +146,7 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
         # after the hit test — no second loop, no argmin) -----------------
         best_t = jnp.full((tile_rows, LANES), FLOAT_INF, jnp.float32)
         feats = [jnp.zeros((tile_rows, LANES), jnp.float32)
-                 for _ in range(12)]
+                 for _ in range(8)]
         for t in range(n_tris):
             v1x, v1y, v1z = tri_ref[t, 0], tri_ref[t, 1], tri_ref[t, 2]
             e1x, e1y, e1z = tri_ref[t, 3], tri_ref[t, 4], tri_ref[t, 5]
@@ -138,7 +156,7 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
             a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a
+            f = _recip(a)
             sx, sy, sz = ox - v1x, oy - v1y, oz - v1z
             u = f * (sx * hx + sy * hy + sz * hz)
             qx = sy * e1z - sz * e1y
@@ -150,10 +168,15 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
                   & (v >= 0.0) & (u + v <= 1.0) & (tt > 0.0)
                   & (tt < best_t))
             best_t = jnp.where(ok, tt, best_t)
-            for c in range(12):
+            for c in range(8):
                 feats[c] = jnp.where(ok, tab_ref[t, c], feats[c])
-        (alb_r, alb_g, alb_b, em_r, em_g, em_b, rough,
-         nx, ny, nz, f_emit, f_spec) = feats
+        (col_r, col_g, col_b, rough, nx, ny, nz, flags) = feats
+
+        is_emit = flags > 1.5
+        emitf = is_emit.astype(jnp.float32)
+        albf = 1.0 - emitf
+        alb_r, alb_g, alb_b = col_r * albf, col_g * albf, col_b * albf
+        em_r, em_g, em_b = col_r * emitf, col_g * emitf, col_b * emitf
 
         hit = (best_t < FLOAT_INF) & alive
         hitf = hit.astype(jnp.float32)
@@ -161,7 +184,7 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
         rad_g = rad_g + hitf * thr_g * em_g
         rad_b = rad_b + hitf * thr_b * em_b
 
-        cont = hit & (f_emit < 0.5)
+        cont = hit & ~is_emit
         contf = cont.astype(jnp.float32)
 
         # double-sided flip toward the ray (triangle.h:48)
@@ -202,7 +225,7 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
                 cz = jnp.where(ok, jz, cz)
             inv = jax.lax.rsqrt(cx * cx + cy * cy + cz * cz)
             sx_, sy_, sz_ = cx * inv, cy * inv, cz * inv
-            spec = f_spec > 0.5
+            spec = (flags > 0.5) & ~is_emit
             ndx = jnp.where(spec, sx_, ndx)
             ndy = jnp.where(spec, sy_, ndy)
             ndz = jnp.where(spec, sz_, ndz)
@@ -319,6 +342,34 @@ def _triangle_params(scene: Scene) -> jnp.ndarray:
         [v1, scene.v2[:n] - v1, scene.v3[:n] - v1], axis=-1)
 
 
+def _packed_table(scene: Scene) -> jnp.ndarray:
+    """(T, 8) packed shade table: [color, rough, normal, flags] (see
+    _kernel docstring).  Requires non-EMIT triangles to have zero emission
+    — true for every reference scene and the OBJ illum mapping; the
+    reference formally adds `emission` for all material types
+    (render.h:59), so a hand-built diffuse+emissive material must use the
+    XLA backend (checked by the launcher)."""
+    import numpy as np
+
+    from ... import materials as mat
+
+    n = scene.num_tris
+    full = shade_table(scene)[:n]
+    mtype = np.asarray(scene.mat_type)[:n]
+    emit = np.asarray(scene.emit)[:n]
+    if np.any((mtype != mat.EMIT) & (np.abs(emit).sum(-1) > 0)):
+        raise ValueError(
+            "scene has a non-EMIT material with nonzero emission; the "
+            "packed Pallas kernel cannot represent it — use backend='brute'")
+    color = jnp.where((scene.mat_type[:n] == mat.EMIT)[:, None],
+                      scene.emit[:n], scene.albedo[:n])
+    flags = jnp.where(scene.mat_type[:n] == mat.EMIT, 2.0,
+                      jnp.where(scene.mat_type[:n] == mat.SPECULAR, 1.0,
+                                0.0))
+    return jnp.concatenate(
+        [color, full[:, 6:7], full[:, 7:10], flags[:, None]], axis=-1)
+
+
 def render_film_pallas(camera: Camera, scene: Scene, samples: int,
                        depth: int = 5, *, seed: int = 1,
                        tile_rows: int = DEFAULT_TILE_ROWS,
@@ -349,7 +400,7 @@ def render_film_pallas(camera: Camera, scene: Scene, samples: int,
 
     cam_params = jnp.asarray(_camera_params(camera))
     tri_params = _triangle_params(scene)
-    table = shade_table(scene)[: scene.num_tris]
+    table = _packed_table(scene)
     # Same mix constant as rng.sample_seed, stored as the int32 bit pattern
     # (the kernel reinterprets it back to uint32).
     mix = (int(seed) * 0x85EBCA6B) & 0xFFFFFFFF
