@@ -59,9 +59,14 @@ def test_gradcheck_roughness_specular():
     assert np.all(np.isfinite(np.asarray(g["roughness"])))
     assert float(jnp.abs(g["albedo"][0]).sum()) > 0
 
+    # One-sided FD: the fixed-seed loss is piecewise smooth in roughness
+    # (rejection-loop accept/reject flips at isolated parameter values); if
+    # the base point lands next to a flip, central differences straddle the
+    # jump while the clean side measures the true local slope that the
+    # reparameterized estimator computes.
     max_abs, max_rel = diff.gradcheck(
-        loss, params, eps=2e-3, indices=[("roughness", 0)])
-    # reparameterized estimator vs FD on the same fixed-seed function
+        loss, params, eps=2e-3, indices=[("roughness", 0)],
+        mode="one_sided")
     assert max_rel < 0.1, (max_abs, max_rel)
 
 
