@@ -62,6 +62,13 @@ def _recip(a):
     return r * (2.0 - a * r)  # one Newton–Raphson refinement
 MAX_PALLAS_TRIS = 512           # beyond this, use the BVH path
 
+# Intersection loop for the compiled TPU path: "plucker" (default; ~15%
+# fewer VPU ops, accept boundaries differ from the XLA path by float
+# reassociation only) or "mt" (bit-comparable with ops/intersect.py; used
+# by the interpreter-mode parity tests).
+import os as _os
+DEFAULT_LOOP = _os.environ.get("PT_LOOP", "plucker")
+
 # rng.py constants (must match rng.sample_seed / rng.rand01 bit for bit)
 _GOLDEN = np.uint32(0x9E3779B9)
 _SEEDMIX = np.uint32(0x85EBCA6B)
@@ -88,12 +95,13 @@ def _rand01(s):
 
 def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
             tile_rows: int, n_tris: int, depth: int, spp: int,
-            has_specular: bool, spec_tries: int):
+            has_specular: bool, spec_tries: int, loop: str = "mt"):
     """One film tile.  SMEM inputs:
     iparams: (4,) int32  [sample_idx0, seed_mix, width_log2, res_y]
     cam:     (16,) f32   [pos(3), right(3), up(3), dist*fwd(3), cell,
                           vres_x/2, vres_y/2, pixel_offset]
-    tri:     (T, 9) f32  [v1, e1, e2]
+    tri:     loop="mt":      (T, 9) f32  [v1, e1, e2]
+             loop="plucker": (T, 27) f32 — see _triangle_params_plucker
     tab:     (T, 8) f32  PACKED shade table: [color(3), rough, n(3), flags]
              where color = emit_color for EMIT triangles else albedo (at
              most one is live per triangle — checked by the launcher), and
@@ -101,6 +109,17 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
              cuts the per-triangle winner-select chain from 13 to 9 vector
              selects; the per-ray unpack costs ~8 ops per bounce total.
     out film: (3, tile_rows, 128) f32 radiance SUM over the spp samples.
+
+    ``loop`` selects the intersection formulation:
+      * "mt" — textbook Möller–Trumbore (triangle.h:25-44), arithmetic
+        matching ops/intersect.py for bit-comparability with the XLA path.
+      * "plucker" — algebraically identical hit set computed from the ray's
+        Plücker moment c = o×d and precomputed per-triangle coefficient
+        vectors (see _triangle_params_plucker): removes the per-(ray,tri)
+        h = d×e2 cross and s = o-v1 subtraction (~8 VPU ops of ~50), and
+        bounce 0 (shared origin = camera) collapses further since c is
+        linear in d there.  Accept boundaries differ from "mt" by float
+        reassociation only (≲1 ulp), statistically identical renders.
     """
     s0 = iparams_ref[0]
     seed_mix = iparams_ref[1].astype(jnp.uint32)
@@ -136,14 +155,10 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
     # small).  A lax.fori_loop here would carry ~100 vector registers
     # (including i1 masks) through an scf.for, which Mosaic fails to
     # legalize; unrolling keeps only the 3 spp-accumulators as loop state.
-    def one_bounce(carry):
-        (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
-         rad_r, rad_g, rad_b, alive, seed) = carry
-
-        # ---- dense intersection over all triangles, with the shading
-        # constants of the current-best triangle selected in the same pass
-        # (the "gather" is 12 predicated selects per candidate, fused right
-        # after the hit test — no second loop, no argmin) -----------------
+    def intersect_mt(ox, oy, oz, dx, dy, dz, bounce):
+        """Textbook Möller–Trumbore over all triangles, fused winner-select.
+        `u <= 1` is dropped: it is implied by `v >= 0 & u + v <= 1`."""
+        del bounce
         best_t = jnp.full((tile_rows, LANES), FLOAT_INF, jnp.float32)
         feats = [jnp.zeros((tile_rows, LANES), jnp.float32)
                  for _ in range(8)]
@@ -164,13 +179,80 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
             qz = sx * e1y - sy * e1x
             v = f * (dx * qx + dy * qy + dz * qz)
             tt = f * (e2x * qx + e2y * qy + e2z * qz)
-            ok = ((jnp.abs(a) >= EPS) & (u >= 0.0) & (u <= 1.0)
+            ok = ((jnp.abs(a) >= EPS) & (u >= 0.0)
                   & (v >= 0.0) & (u + v <= 1.0) & (tt > 0.0)
                   & (tt < best_t))
             best_t = jnp.where(ok, tt, best_t)
             for c in range(8):
                 feats[c] = jnp.where(ok, tab_ref[t, c], feats[c])
-        (col_r, col_g, col_b, rough, nx, ny, nz, flags) = feats
+        return [best_t] + feats
+
+    def intersect_plucker(ox, oy, oz, dx, dy, dz, bounce):
+        """Plücker-coefficient intersection (same hit set as MT up to float
+        reassociation).  With the ray moment c = o×d computed once per
+        bounce, every per-triangle quantity is a dot against precomputed
+        constants — no per-(ray,tri) cross products or origin subtraction:
+
+            a   = Na·d                         (Na = -e1×e2)
+            u·a = e2·c + kp·d                  (kp = -(e2×v1))
+            v·a = me1·c + kq·d                 (me1 = -e1, kq = -(v1×e1))
+            t·a = N·o + nv                     (nv = -N·v1)
+
+        Bounce 0 collapses further: o = camera position for every ray, so
+        c is linear in d and u·a = pc·d, v·a = qc·d, t·a = r0 with pc, qc,
+        r0 precomputed on the host against the camera origin."""
+        primary = bounce == 0
+        if not primary:
+            cx = oy * dz - oz * dy
+            cy = oz * dx - ox * dz
+            cz = ox * dy - oy * dx
+        best_t = jnp.full((tile_rows, LANES), FLOAT_INF, jnp.float32)
+        feats = [jnp.zeros((tile_rows, LANES), jnp.float32)
+                 for _ in range(8)]
+        for t in range(n_tris):
+            a = (tri_ref[t, 0] * dx + tri_ref[t, 1] * dy
+                 + tri_ref[t, 2] * dz)
+            f = _recip(a)
+            if primary:
+                p = (tri_ref[t, 19] * dx + tri_ref[t, 20] * dy
+                     + tri_ref[t, 21] * dz)
+                q = (tri_ref[t, 22] * dx + tri_ref[t, 23] * dy
+                     + tri_ref[t, 24] * dz)
+                tt = f * tri_ref[t, 25]
+            else:
+                p = (tri_ref[t, 10] * cx + tri_ref[t, 11] * cy
+                     + tri_ref[t, 12] * cz
+                     + tri_ref[t, 7] * dx + tri_ref[t, 8] * dy
+                     + tri_ref[t, 9] * dz)
+                q = (tri_ref[t, 16] * cx + tri_ref[t, 17] * cy
+                     + tri_ref[t, 18] * cz
+                     + tri_ref[t, 13] * dx + tri_ref[t, 14] * dy
+                     + tri_ref[t, 15] * dz)
+                r = (tri_ref[t, 3] * ox + tri_ref[t, 4] * oy
+                     + tri_ref[t, 5] * oz + tri_ref[t, 6])
+                tt = f * r
+            u = f * p
+            v = f * q
+            ok = ((jnp.abs(a) >= EPS) & (u >= 0.0)
+                  & (v >= 0.0) & (u + v <= 1.0) & (tt > 0.0)
+                  & (tt < best_t))
+            best_t = jnp.where(ok, tt, best_t)
+            for c in range(8):
+                feats[c] = jnp.where(ok, tab_ref[t, c], feats[c])
+        return [best_t] + feats
+
+    intersect = intersect_plucker if loop == "plucker" else intersect_mt
+
+    def one_bounce(carry, bounce):
+        (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+         rad_r, rad_g, rad_b, alive, seed) = carry
+
+        # ---- dense intersection over all triangles, with the shading
+        # constants of the current-best triangle selected in the same pass
+        # (the "gather" is 9 predicated selects per candidate, fused right
+        # after the hit test — no second loop, no argmin) -----------------
+        (best_t, col_r, col_g, col_b, rough, nx, ny, nz, flags) = intersect(
+            ox, oy, oz, dx, dy, dz, bounce)
 
         is_emit = flags > 1.5
         emitf = is_emit.astype(jnp.float32)
@@ -271,8 +353,8 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
         carry = (zeros + px, zeros + py, zeros + pz, dx, dy, dz,
                  ones, ones, ones, zeros, zeros, zeros,
                  jnp.ones((tile_rows, LANES), bool), seed)
-        for _ in range(depth):
-            carry = one_bounce(carry)
+        for b in range(depth):
+            carry = one_bounce(carry, b)
         rad_r, rad_g, rad_b = carry[9], carry[10], carry[11]
         return acc_r + rad_r, acc_g + rad_g, acc_b + rad_b
 
@@ -287,10 +369,11 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_rows", "n_tris", "depth", "spp", "has_specular",
-                     "width", "height", "interpret"),
+                     "width", "height", "interpret", "loop"),
 )
 def _launch(iparams, cam_params, tri_params, table, *, tile_rows, n_tris,
-            depth, spp, has_specular, width, height, interpret=False):
+            depth, spp, has_specular, width, height, interpret=False,
+            loop="mt"):
     n_pix = width * height
     rays_per_tile = tile_rows * LANES
     assert n_pix % rays_per_tile == 0, (n_pix, rays_per_tile)
@@ -298,7 +381,7 @@ def _launch(iparams, cam_params, tri_params, table, *, tile_rows, n_tris,
 
     kern = functools.partial(
         _kernel, tile_rows=tile_rows, n_tris=n_tris, depth=depth, spp=spp,
-        has_specular=has_specular, spec_tries=mat.SPECULAR_TRIES)
+        has_specular=has_specular, spec_tries=mat.SPECULAR_TRIES, loop=loop)
 
     out = pl.pallas_call(
         kern,
@@ -342,6 +425,42 @@ def _triangle_params(scene: Scene) -> jnp.ndarray:
         [v1, scene.v2[:n] - v1, scene.v3[:n] - v1], axis=-1)
 
 
+def _triangle_params_plucker(scene: Scene, cam_pos) -> jnp.ndarray:
+    """(T, 27) Plücker coefficient rows for intersect_plucker (host-side,
+    float64 precompute).  Column layout:
+
+      0:3   Na  = -(e1 x e2)          a   = Na . d
+      3:6   N   =  e1 x e2            t*a = N . o + nv
+      6     nv  = -N . v1
+      7:10  kp  = -(e2 x v1)          u*a = e2 . (o x d) + kp . d
+      10:13 e2
+      13:16 kq  = -(v1 x e1)          v*a = me1 . (o x d) + kq . d
+      16:19 me1 = -e1
+      19:22 pc  = e2 x cam_pos + kp   u*a at bounce 0 = pc . d
+      22:25 qc  = me1 x cam_pos + kq  v*a at bounce 0 = qc . d
+      25    r0  = N . cam_pos + nv    t*a at bounce 0
+      26    pad
+    """
+    n = scene.num_tris
+    v1 = np.asarray(scene.v1[:n], np.float64)
+    e1 = np.asarray(scene.v2[:n], np.float64) - v1
+    e2 = np.asarray(scene.v3[:n], np.float64) - v1
+    o = np.asarray(cam_pos, np.float64).reshape(1, 3)
+    nrm = np.cross(e1, e2)
+    kp = -np.cross(e2, v1)
+    kq = -np.cross(v1, e1)
+    me1 = -e1
+    nv = -np.sum(nrm * v1, -1, keepdims=True)
+    # bounce-0 (shared origin) coefficients: x . (o x d) = (x x o) . d
+    pc = np.cross(e2, np.broadcast_to(o, e2.shape)) + kp
+    qc = np.cross(me1, np.broadcast_to(o, me1.shape)) + kq
+    r0 = np.sum(nrm * o, -1, keepdims=True) + nv
+    pad = np.zeros_like(r0)
+    return jnp.asarray(np.concatenate(
+        [-nrm, nrm, nv, kp, e2, kq, me1, pc, qc, r0, pad],
+        axis=-1).astype(np.float32))
+
+
 def _packed_table(scene: Scene) -> jnp.ndarray:
     """(T, 8) packed shade table: [color, rough, normal, flags] (see
     _kernel docstring).  Requires non-EMIT triangles to have zero emission
@@ -375,8 +494,14 @@ def render_film_pallas(camera: Camera, scene: Scene, samples: int,
                        tile_rows: int = DEFAULT_TILE_ROWS,
                        spp_per_call: Optional[int] = None,
                        interpret: bool = False,
+                       loop: Optional[str] = None,
                        verbose: bool = False) -> Film:
-    """Render the sample-averaged linear film with the Pallas megakernel."""
+    """Render the sample-averaged linear film with the Pallas megakernel.
+
+    ``loop``: intersection formulation, "plucker" (default, fastest) or
+    "mt" (bit-comparable with the XLA path; see _kernel)."""
+    if loop is None:
+        loop = DEFAULT_LOOP
     if scene.num_tris > MAX_PALLAS_TRIS:
         raise ValueError(
             f"pallas megakernel supports <= {MAX_PALLAS_TRIS} triangles "
@@ -399,7 +524,10 @@ def render_film_pallas(camera: Camera, scene: Scene, samples: int,
         spp_per_call = max(1, min(samples, (1 << 24) // n_pix))
 
     cam_params = jnp.asarray(_camera_params(camera))
-    tri_params = _triangle_params(scene)
+    if loop == "plucker":
+        tri_params = _triangle_params_plucker(scene, camera.pos)
+    else:
+        tri_params = _triangle_params(scene)
     table = _packed_table(scene)
     # Same mix constant as rng.sample_seed, stored as the int32 bit pattern
     # (the kernel reinterprets it back to uint32).
@@ -415,7 +543,7 @@ def render_film_pallas(camera: Camera, scene: Scene, samples: int,
             iparams, cam_params, tri_params, table,
             tile_rows=tile_rows, n_tris=scene.num_tris, depth=depth,
             spp=spp, has_specular=scene.has_specular,
-            width=width, height=height, interpret=interpret)
+            width=width, height=height, interpret=interpret, loop=loop)
         s += spp
         if verbose:
             print(f"\rRendered: {s}/{samples} spp.", end="", flush=True)

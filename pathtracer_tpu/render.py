@@ -148,6 +148,10 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
         from .ops.pallas import trace_kernel
         return trace_kernel.render_film_pallas(
             camera, scene, samples, depth, seed=seed, verbose=verbose)
+    if backend == "mxu":
+        from .ops.pallas import mxu_kernel
+        return mxu_kernel.render_film_mxu(
+            camera, scene, samples, depth, seed=seed, verbose=verbose)
     if backend == "bvh" and bvh is None:
         bvh = build_bvh(scene)
 
