@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Large-scene BVH benchmark (BASELINE config 4).
+
+The reference cannot run this workload at all (its GLSL uniform arrays cap
+at MAX_TRIANGLES=300, shader.h:76); the CPU path is its only recourse and is
+single-threaded.  We measure ray-segment throughput of the vectorized BVH
+traversal backend on a ~10k-triangle procedural scene.
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+    import dataclasses
+
+    import pathtracer_tpu as pt
+    from pathtracer_tpu import meshes
+
+    res = int(os.environ.get("BENCH_RES", "256"))
+    depth = int(os.environ.get("BENCH_DEPTH", "5"))
+    spp = int(os.environ.get("BENCH_SPP", "64"))
+
+    cam, sb = meshes.sphere_in_box(50, 100)
+    scene = sb.build()
+    cam = dataclasses.replace(cam, res=(res, res))
+    bvh = pt.build_bvh(scene)
+
+    pt.render_film(cam, scene, samples=8, depth=depth, bvh=bvh,
+                   backend="bvh")  # warm/compile
+    t0 = time.perf_counter()
+    pt.render_film(cam, scene, samples=spp, depth=depth, bvh=bvh,
+                   backend="bvh")
+    dt = time.perf_counter() - t0
+
+    rays = res * res * spp * depth
+    print(json.dumps({
+        "metric": f"rays_per_sec_bvh_{scene.num_tris}tris_{res}",
+        "value": rays / dt,
+        "unit": "rays/s",
+        "tris": int(scene.num_tris),
+        "bvh_nodes": int(bvh.num_nodes),
+        "seconds": dt,
+    }))
+
+
+if __name__ == "__main__":
+    main()

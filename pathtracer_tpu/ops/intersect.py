@@ -178,3 +178,123 @@ def _masked_push(stack, sp, value, mask):
     col = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
     at = col == jnp.minimum(sp, S - 1)[:, None]
     return jnp.where(at & mask[:, None], value[:, None], stack)
+
+
+def intersect_bvh_packet(ray_o, ray_d, flat, v1, v2, v3, max_leaf: int,
+                         stack_size: int, packet_rays: int = 8192):
+    """Packet traversal of the flat BVH — the TPU-fast large-scene path.
+
+    ``intersect_bvh`` gives every ray its own stack, which makes every node
+    fetch, stack access and leaf-vertex load a WIDE GATHER (per-ray indices)
+    — the slowest memory primitive on a TPU; measured ~9e4 rays/s at 10k
+    triangles.  This variant restructures the traversal so that a whole
+    PACKET of rays shares ONE scalar traversal stack (the classic coherent
+    packet traversal, re-derived for a vector machine):
+
+      * the node index is a traced SCALAR -> node boxes / children / leaf
+        ranges / triangle vertices are scalar ``dynamic_slice`` loads, never
+        gathers;
+      * the AABB slab test and Möller–Trumbore run densely over the packet
+        (pure VPU ops), with per-ray nearest-hit masking (the slab entry
+        distance must beat the ray's current best t);
+      * a subtree is descended iff ANY ray in the packet wants it (an
+        ``any`` reduction — the vector analog of SIMT ballot);
+      * leaf work is guarded by a real scalar ``lax.cond`` so interior
+        visits do not pay the triangle-test cost (per-ray traversal cannot
+        branch like this — its leaf mask differs per lane).
+
+    Rays are processed in packets of ``packet_rays`` via ``lax.map``: camera
+    tiles arrive in pixel order, so packets inherit spatial coherence.
+    Same (t, tid) contract as ``intersect_bvh``; the hit set is identical
+    (both enumerate the same leaves; nearest-hit reduction is order
+    -independent for distinct t).
+
+    Reference analog: bvh.h:156-183 / shader.h:153-193 (per-thread stacks on
+    a SIMT machine); this is the data-parallel re-architecture, not a
+    translation.
+    """
+    R = ray_o.shape[0]
+    pr = min(packet_rays, R)
+    if R % pr:  # fall back to one packet (callers pass 2^k sizes)
+        pr = R
+    n_pk = R // pr
+
+    def one_packet(rays):
+        p_o, p_d = rays
+        inv_d = 1.0 / p_d
+
+        stack0 = jnp.zeros((stack_size,), jnp.int32)  # root (=0) pre-seeded
+        state0 = (stack0, jnp.int32(1),
+                  jnp.full((pr,), FLOAT_INF, jnp.float32),
+                  jnp.full((pr,), -1, jnp.int32))
+
+        def cond(state):
+            return state[1] > 0
+
+        def body(state):
+            stack, sp, best_t, best_tid = state
+            node = lax.dynamic_index_in_dim(stack, sp - 1, keepdims=False)
+            sp = sp - 1
+
+            lb = lax.dynamic_index_in_dim(flat.lb, node, keepdims=False)
+            rt = lax.dynamic_index_in_dim(flat.rt, node, keepdims=False)
+            t1 = (lb - p_o) * inv_d
+            t2 = (rt - p_o) * inv_d
+            tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+            # slab hit AND the box entry can still beat this ray's best hit
+            hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin < best_t)
+
+            left = lax.dynamic_index_in_dim(flat.left, node, keepdims=False)
+            right = lax.dynamic_index_in_dim(flat.right, node,
+                                             keepdims=False)
+            tri_start = lax.dynamic_index_in_dim(flat.tri_start, node,
+                                                 keepdims=False)
+            tri_end = lax.dynamic_index_in_dim(flat.tri_end, node,
+                                               keepdims=False)
+            any_hit = jnp.any(hit)
+            is_leaf = left == -1
+
+            def do_leaf(op):
+                best_t, best_tid = op
+
+                def tri_body(k, carry):
+                    best_t, best_tid = carry
+                    slot = jnp.minimum(tri_start + k, tri_end)
+                    tri = lax.dynamic_index_in_dim(flat.tri_idx, slot,
+                                                   keepdims=False)
+                    a1 = lax.dynamic_index_in_dim(v1, tri, keepdims=False)
+                    a2 = lax.dynamic_index_in_dim(v2, tri, keepdims=False)
+                    a3 = lax.dynamic_index_in_dim(v3, tri, keepdims=False)
+                    t, valid = intersect_one_triangle(p_o, p_d, a1, a2, a3)
+                    better = hit & valid & (t < best_t)
+                    return (jnp.where(better, t, best_t),
+                            jnp.where(better, tri, best_tid))
+
+                n_leaf = jnp.minimum(tri_end - tri_start + 1, max_leaf)
+                return lax.fori_loop(0, n_leaf, tri_body, (best_t, best_tid))
+
+            best_t, best_tid = lax.cond(
+                any_hit & is_leaf, do_leaf, lambda op: op,
+                (best_t, best_tid))
+
+            # interior & visited: push both children (shared scalar stack)
+            def push(op):
+                stack, sp = op
+                stack = lax.dynamic_update_index_in_dim(stack, left, sp, 0)
+                stack = lax.dynamic_update_index_in_dim(
+                    stack, right, sp + 1, 0)
+                return stack, sp + 2
+
+            stack, sp = lax.cond(any_hit & ~is_leaf, push, lambda op: op,
+                                 (stack, sp))
+            return stack, sp, best_t, best_tid
+
+        _, _, best_t, best_tid = lax.while_loop(cond, body, state0)
+        return best_t, best_tid
+
+    if n_pk == 1:
+        return one_packet((ray_o, ray_d))
+    t, tid = lax.map(one_packet, (ray_o.reshape(n_pk, pr, 3),
+                                  ray_d.reshape(n_pk, pr, 3)))
+    return t.reshape(R), tid.reshape(R)

@@ -64,10 +64,18 @@ def _tile_step(backend: str, tile_h: int, width: int, res_y: int, spp_b: int,
         h = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 0) + h0
 
         if backend == "bvh":
+            # Packet traversal (shared scalar stack per ray packet) is the
+            # TPU-fast formulation; the per-ray-stack variant is kept for
+            # comparison via PT_BVH=gather (see intersect.py docstrings).
+            import os as _os
+            _bvh_fn = (isect.intersect_bvh
+                       if _os.environ.get("PT_BVH") == "gather"
+                       else isect.intersect_bvh_packet)
+
             def intersect(o, d):
                 flat_o = o.reshape(-1, 3)
                 flat_d = d.reshape(-1, 3)
-                t, tid = isect.intersect_bvh(
+                t, tid = _bvh_fn(
                     flat_o, flat_d, bvh, scene.v1, scene.v2, scene.v3,
                     max_leaf=max_leaf, stack_size=stack_size)
                 return t.reshape(o.shape[:-1]), tid.reshape(o.shape[:-1])

@@ -126,3 +126,23 @@ def test_bvh_matches_brute(rng_np):
 
     np.testing.assert_array_equal(np.asarray(ib), np.asarray(iv))
     np.testing.assert_allclose(np.asarray(tb), np.asarray(tv), rtol=1e-5)
+
+
+def test_bvh_packet_matches_brute(rng_np):
+    scene = _random_scene(rng_np, n_tris=200)
+    bvh = pt.build_bvh(scene, use_native=False)
+    R = 256
+    o = rng_np.uniform(-8, 8, (R, 3)).astype(np.float32)
+    d = rng_np.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    tb, ib = isect.intersect_brute(
+        jnp.asarray(o), jnp.asarray(d), scene.v1, scene.v2, scene.v3)
+    # multi-packet path (R=256 -> 4 packets of 64) and single-packet path
+    for pr in (64, 4096):
+        tp, ip = isect.intersect_bvh_packet(
+            jnp.asarray(o), jnp.asarray(d), bvh, scene.v1, scene.v2,
+            scene.v3, max_leaf=bvh.max_leaf, stack_size=bvh.stack_size(),
+            packet_rays=pr)
+        np.testing.assert_array_equal(np.asarray(ib), np.asarray(ip))
+        np.testing.assert_allclose(np.asarray(tb), np.asarray(tp), rtol=1e-5)
