@@ -81,10 +81,10 @@ TILE_ROWS = 8                    # 1024 rays per tile (one lane-group matmul)
 MAX_MXU_TRIS = 128               # (4*TP, 1024) intermediates stay < ~2 MB
 N_FEATURES = 16                  # Plucker features padded to a sublane tile
 
-import os as _os
-_ABL = _os.environ.get("MXU_ABLATE", "")  # perf-ablation knobs (dev only)
-_PRECISION = (jax.lax.Precision.DEFAULT if "lowprec" in _ABL
-              else jax.lax.Precision.HIGHEST)
+# Matmul precision for the Plucker contraction.  HIGHEST (f32 on the MXU)
+# is required for hit accuracy; the bf16 ablation was measured and rejected
+# (visible edge artifacts, no net speedup — the epilogue dominates).
+_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _plucker_matrix(scene: Scene, tp: int) -> np.ndarray:
@@ -165,14 +165,10 @@ def _kernel(iparams_ref, cam_ref, amat_ref, tabt_ref, film_ref, *,
         cx = oy * dz - oz * dy
         cy = oz * dx - ox * dz
         cz = ox * dy - oy * dx
-        if "noreshape" in _ABL:  # ablation: fake features, no relayout
-            feat = jnp.broadcast_to(
-                (dx + ox).reshape(1, n_rays), (16, n_rays))
-        else:
-            feat = jnp.concatenate(
-                [row(dx), row(dy), row(dz), row(cx), row(cy), row(cz),
-                 row(ox), row(oy), row(oz), onerow,
-                 zrow, zrow, zrow, zrow, zrow, zrow], axis=0)   # (16, N)
+        feat = jnp.concatenate(
+            [row(dx), row(dy), row(dz), row(cx), row(cy), row(cz),
+             row(ox), row(oy), row(oz), onerow,
+             zrow, zrow, zrow, zrow, zrow, zrow], axis=0)   # (16, N)
         qmat = jnp.dot(amat, feat,
                        preferred_element_type=jnp.float32,
                        precision=_PRECISION)  # (4*TP, N)
@@ -195,22 +191,15 @@ def _kernel(iparams_ref, cam_ref, amat_ref, tabt_ref, film_ref, *,
                         preferred_element_type=jnp.float32,
                         precision=_PRECISION) * inv  # (8, N)
 
-        if "noplanar" in _ABL:  # ablation: skip the feats->planar relayout
-            best_t = planar(best)
-            z = best_t * 0.0
-            col_r, col_g, col_b = z + 0.5, z + 0.5, z + 0.5
-            rough, nx, ny, nz = z, z, z + 1.0, z
-            flags = z + feats[0, 0]
-        else:
-            best_t = planar(best)
-            col_r = planar(feats[0:1])
-            col_g = planar(feats[1:2])
-            col_b = planar(feats[2:3])
-            rough = planar(feats[3:4])
-            nx = planar(feats[4:5])
-            ny = planar(feats[5:6])
-            nz = planar(feats[6:7])
-            flags = planar(feats[7:8])
+        best_t = planar(best)
+        col_r = planar(feats[0:1])
+        col_g = planar(feats[1:2])
+        col_b = planar(feats[2:3])
+        rough = planar(feats[3:4])
+        nx = planar(feats[4:5])
+        ny = planar(feats[5:6])
+        nz = planar(feats[6:7])
+        flags = planar(feats[7:8])
 
         # ---- shading / sampling: identical to trace_kernel --------------
         is_emit = flags > 1.5

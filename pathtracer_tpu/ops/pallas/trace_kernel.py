@@ -65,9 +65,9 @@ MAX_PALLAS_TRIS = 512           # beyond this, use the BVH path
 # Intersection loop for the compiled TPU path: "plucker" (default; ~15%
 # fewer VPU ops, accept boundaries differ from the XLA path by float
 # reassociation only) or "mt" (bit-comparable with ops/intersect.py; used
-# by the interpreter-mode parity tests).
-import os as _os
-DEFAULT_LOOP = _os.environ.get("PT_LOOP", "plucker")
+# by the interpreter-mode parity tests).  Selected via the ``loop``
+# argument of render_film_pallas — a real argument, not an env knob.
+DEFAULT_LOOP = "plucker"
 
 # rng.py constants (must match rng.sample_seed / rng.rand01 bit for bit)
 _GOLDEN = np.uint32(0x9E3779B9)

@@ -49,35 +49,41 @@ _STEP_CACHE = {}
 
 def _tile_step(backend: str, tile_h: int, width: int, res_y: int, spp_b: int,
                n_blocks: int, depth: int, base_seed: int,
-               max_leaf: int, stack_size: int):
+               max_leaf: int, stack_size: int, interpret: bool = False):
     """Build (and cache) the jitted pass: trace ``n_blocks`` sample blocks of
     ``spp_b`` samples for a ``tile_h x width`` pixel tile, returning the tile's
     radiance SUM over those samples."""
     key = (backend, tile_h, width, res_y, spp_b, n_blocks, depth, base_seed,
-           max_leaf, stack_size)
+           max_leaf, stack_size, interpret)
     if key in _STEP_CACHE:
         return _STEP_CACHE[key]
 
-    def step(scene: Scene, table, cam: Camera, bvh: Optional[FlatBVH],
-             h0, sidx0):
+    def step(scene: Scene, table, cam: Camera, accel, h0, sidx0):
         w = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 1)
         h = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 0) + h0
 
-        if backend == "bvh":
-            # Packet traversal (shared scalar stack per ray packet) is the
-            # TPU-fast formulation; the per-ray-stack variant is kept for
-            # comparison via PT_BVH=gather (see intersect.py docstrings).
-            import os as _os
-            _bvh_fn = (isect.intersect_bvh
-                       if _os.environ.get("PT_BVH") == "gather"
+        if backend in ("bvh", "bvh-gather"):
+            # Packet traversal (shared scalar stack per ray packet) or the
+            # per-ray-stack variant (kept for measurement; see
+            # intersect.py docstrings).
+            _bvh_fn = (isect.intersect_bvh if backend == "bvh-gather"
                        else isect.intersect_bvh_packet)
 
             def intersect(o, d):
                 flat_o = o.reshape(-1, 3)
                 flat_d = d.reshape(-1, 3)
                 t, tid = _bvh_fn(
-                    flat_o, flat_d, bvh, scene.v1, scene.v2, scene.v3,
+                    flat_o, flat_d, accel, scene.v1, scene.v2, scene.v3,
                     max_leaf=max_leaf, stack_size=stack_size)
+                return t.reshape(o.shape[:-1]), tid.reshape(o.shape[:-1])
+        elif backend == "cluster":
+            from .ops.pallas import cluster_kernel
+
+            def intersect(o, d):
+                flat_o = o.reshape(-1, 3)
+                flat_d = d.reshape(-1, 3)
+                t, tid = cluster_kernel.intersect_clusters(
+                    flat_o, flat_d, accel, interpret=interpret)
                 return t.reshape(o.shape[:-1]), tid.reshape(o.shape[:-1])
         else:
             def intersect(o, d):
@@ -107,12 +113,18 @@ def _tile_step(backend: str, tile_h: int, width: int, res_y: int, spp_b: int,
     return fn
 
 
-def _plan(width: int, height: int, samples: int, n_tris: int):
+def _plan(width: int, height: int, samples: int, n_tris: int,
+          backend: str = "brute"):
     """Choose (tile_h, spp_b, blocks_per_call) to hit the ray-count targets.
 
     The dense intersector materializes O(rays * n_tris) floats transiently;
-    scale the per-pass ray budget down for bigger scenes."""
-    per_pass = max(1 << 16, TARGET_RAYS_PER_PASS // max(1, n_tris // 32))
+    scale the per-pass ray budget down for bigger scenes.  The cluster
+    backend's memory is O(rays), so it always takes the full ray budget
+    (big batches amortize its sort + kernel-dispatch overhead)."""
+    if backend == "cluster":
+        per_pass = TARGET_RAYS_PER_PASS
+    else:
+        per_pass = max(1 << 16, TARGET_RAYS_PER_PASS // max(1, n_tris // 32))
     tile_h = max(1, min(height, per_pass // max(1, width)))
     while height % tile_h:
         tile_h -= 1
@@ -122,19 +134,23 @@ def _plan(width: int, height: int, samples: int, n_tris: int):
     return tile_h, spp_b, blocks
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _auto_backend(camera: Camera, scene: Scene) -> str:
     """Pick the fastest valid backend: the fused Pallas megakernel on real
-    TPU hardware (small scenes, power-of-two width), the dense XLA path on
-    CPU or odd sizes, the BVH for big scenes."""
+    TPU hardware (small scenes, power-of-two width), the Pallas cluster
+    traversal for big scenes on TPU, the dense XLA path on CPU or odd
+    sizes, the XLA packet-BVH for big scenes on CPU."""
     if scene.padded_size > BRUTE_MAX:
-        return "bvh"
+        return "cluster" if _on_tpu() else "bvh"
     width = camera.res[0]
-    try:
-        on_tpu = jax.default_backend() not in ("cpu",)
-    except Exception:
-        on_tpu = False
     from .ops.pallas.trace_kernel import MAX_PALLAS_TRIS
-    if (on_tpu and scene.num_tris <= MAX_PALLAS_TRIS
+    if (_on_tpu() and scene.num_tris <= MAX_PALLAS_TRIS
             and width & (width - 1) == 0):
         return "pallas"
     return "brute"
@@ -160,14 +176,24 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
         from .ops.pallas import mxu_kernel
         return mxu_kernel.render_film_mxu(
             camera, scene, samples, depth, seed=seed, verbose=verbose)
-    if backend == "bvh" and bvh is None:
-        bvh = build_bvh(scene)
+    accel = bvh
+    max_leaf = stack_size = 0
+    interpret = False
+    if backend in ("bvh", "bvh-gather"):
+        if accel is None:
+            accel = build_bvh(scene)
+        max_leaf = accel.max_leaf
+        stack_size = accel.stack_size()
+    elif backend == "cluster":
+        from .clusters import ClusterSet, build_clusters
+        if not isinstance(accel, ClusterSet):
+            accel = build_clusters(scene, bvh=accel)
+        interpret = not _on_tpu()  # Pallas interpreter on CPU (tests)
 
     width, height = camera.res
-    tile_h, spp_b, blocks = _plan(width, height, samples, scene.padded_size)
+    tile_h, spp_b, blocks = _plan(width, height, samples,
+                                  scene.padded_size, backend)
     table = trace_ops.shade_table(scene)
-    max_leaf = bvh.max_leaf if bvh is not None else 0
-    stack_size = bvh.stack_size() if bvh is not None else 0
 
     film = jnp.zeros((height, width, 3), jnp.float32)
     done = 0
@@ -181,8 +207,8 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
             else:
                 this_spp = spp_b
             step = _tile_step(backend, tile_h, width, height, this_spp, nb,
-                              depth, seed, max_leaf, stack_size)
-            acc = step(scene, table, camera, bvh,
+                              depth, seed, max_leaf, stack_size, interpret)
+            acc = step(scene, table, camera, accel,
                        jnp.int32(h0), jnp.int32(s))
             film = film.at[h0 : h0 + tile_h].add(acc)
             s += this_spp * nb
