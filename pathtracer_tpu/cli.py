@@ -66,10 +66,13 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=5)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "brute", "bvh", "pallas"])
+                   choices=["auto", "brute", "bvh", "bvh-gather", "cluster",
+                            "pallas"])
     p.add_argument("--camera", help="pos:forward[:up[:fov_deg]] e.g. "
                                     "'278,278,-500:0,0,1'")
     p.add_argument("--roughness", type=float, default=0.0)
+    p.add_argument("--checkpoint", help="resume file (.npz): created if "
+                   "missing, resumed from if present")
 
     p = sub.add_parser("sweep", help="modified-Cornell roughness sweep")
     p.add_argument("prefix")
@@ -95,6 +98,8 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=5)
     p.add_argument("--steps", type=int, default=150)
     p.add_argument("--target-spp", type=int, default=256)
+    p.add_argument("--checkpoint", help="resume file (.npz): created if "
+                   "missing, resumed from if present")
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.add_argument("--res", type=int, default=1024)
@@ -109,7 +114,8 @@ def main(argv=None):
         cam, sc = _load_scene(args.scene, (args.res, args.res), args.camera,
                               args.roughness)
         render(cam, sc, args.spp, args.depth, args.filename,
-               seed=args.seed, backend=args.backend)
+               seed=args.seed, backend=args.backend,
+               checkpoint=args.checkpoint)
 
     elif args.cmd == "sweep":
         from . import scene as scene_mod
@@ -139,7 +145,8 @@ def main(argv=None):
         print("optimizing materials...")
         mats, losses = recover_materials(
             cam, sc, jnp.asarray(target), steps=args.steps,
-            samples=args.spp, depth=args.depth, verbose=True)
+            samples=args.spp, depth=args.depth,
+            checkpoint=args.checkpoint, verbose=True)
         true_alb = np.asarray(sc.albedo)[: sc.num_tris]
         got_alb = np.asarray(mats["albedo"])[: sc.num_tris]
         err = np.abs(true_alb - got_alb).mean()

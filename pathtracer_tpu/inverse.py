@@ -78,6 +78,8 @@ def recover_materials(
     seed: int = prng.SEED,
     params0: Optional[Dict[str, jnp.ndarray]] = None,
     optimize: tuple = ("albedo", "emit", "roughness"),
+    checkpoint: Optional[str] = None,
+    checkpoint_every: int = 25,
     verbose: bool = False,
 ):
     """Gradient-descend material parameters to match ``target`` (linear film).
@@ -86,15 +88,35 @@ def recover_materials(
     at their initial values (useful to break the emission-vs-albedo
     ambiguity when only albedo is unknown).
 
+    ``checkpoint``: path to a .npz resume file; if present, training
+    resumes at the recorded step (params + Adam state restored — each step
+    k draws the sample window k*samples, so the continued trajectory is
+    the one the uninterrupted run would have taken); it is (re)written
+    every ``checkpoint_every`` steps and at the end.
+
     Returns (materials, losses): the recovered physical material arrays and
-    the per-step loss history.
+    the per-step loss history (of the steps run in THIS call).
     """
+    import os
+
     import optax
+
+    from .utils import checkpoint as ckpt
 
     opt = optax.adam(lr)
     params = params0 if params0 is not None else init_params(scene)
     opt_state = opt.init(params)
     frozen = {k: (0.0 if k in optimize else 1.0) for k in params}
+
+    start_step = 0
+    if checkpoint is not None:
+        cpath = checkpoint if checkpoint.endswith(".npz") \
+            else checkpoint + ".npz"
+        if os.path.exists(cpath):
+            params, opt_state, start_step, _ = ckpt.load_train_checkpoint(
+                cpath, params, opt_state)
+            if verbose:
+                print(f"Resuming at step {start_step}/{steps}.")
 
     @jax.jit
     def step(params, opt_state, k):
@@ -111,9 +133,14 @@ def recover_materials(
         return params, opt_state, loss
 
     losses = []
-    for k in range(steps):
+    for k in range(start_step, steps):
         params, opt_state, loss = step(params, opt_state, jnp.int32(k))
         losses.append(float(loss))
         if verbose and (k % 10 == 0 or k == steps - 1):
             print(f"step {k:4d}  loss {losses[-1]:.3e}")
+        if checkpoint is not None and (
+                (k + 1) % checkpoint_every == 0 or k == steps - 1):
+            ckpt.save_train_checkpoint(
+                checkpoint, params, opt_state, k + 1,
+                {"samples": samples, "depth": depth, "seed": seed})
     return to_materials(params), np.asarray(losses)

@@ -156,22 +156,58 @@ def _auto_backend(camera: Camera, scene: Scene) -> str:
     return "brute"
 
 
+def _sample_schedule(samples: int, spp_b: int, blocks: int):
+    """Deterministic sample-block schedule: [(sidx0, spp, n_blocks), ...]
+    covering [0, samples).  Derived from the TOTAL sample count only, so a
+    resumed render blocks (and therefore float-accumulates) identically to
+    an uninterrupted one."""
+    sched = []
+    s = 0
+    while s < samples:
+        nb = min(blocks, (samples - s) // spp_b)
+        if nb == 0:
+            nb, this_spp = 1, samples - s
+        else:
+            this_spp = spp_b
+        sched.append((s, this_spp, nb))
+        s += this_spp * nb
+    return sched
+
+
 def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
                 *, bvh: Optional[FlatBVH] = None, seed: int = prng.SEED,
-                backend: str = "auto", verbose: bool = False) -> Film:
+                backend: str = "auto", verbose: bool = False,
+                checkpoint: Optional[str] = None,
+                checkpoint_every: int = 1,
+                _abort_after: Optional[int] = None) -> Film:
     """Render the sample-averaged LINEAR film (no gamma).
 
     The driver equivalent of the loop cores of render_cpu/render_gpu
     (render.h:80-88, 128-139), minus color correction and file output —
-    see :func:`render` for the full pipeline."""
+    see :func:`render` for the full pipeline.
+
+    checkpoint: path to a .npz resume file.  If it exists, the render
+    resumes at the recorded sample index and produces a film BIT-IDENTICAL
+    to an uninterrupted run (the per-(pixel,sample) RNG streams and the
+    deterministic sample schedule make partial sums exact prefixes); if it
+    does not exist it is created and updated every ``checkpoint_every``
+    completed sample blocks.  The reference loses everything on
+    interruption (SURVEY.md section 5).
+    ``_abort_after``: testing hook — abort (saving the checkpoint) after
+    this many schedule entries.
+    """
     if scene.num_tris == 0:
         raise ValueError("No triangles in scene.")
     if backend == "auto":
         backend = _auto_backend(camera, scene)
-    if backend == "pallas":
+    if backend == "pallas" and checkpoint is None:
         from .ops.pallas import trace_kernel
         return trace_kernel.render_film_pallas(
             camera, scene, samples, depth, seed=seed, verbose=verbose)
+    if backend == "pallas":
+        backend = _auto_backend(camera, scene)
+        if backend == "pallas":
+            backend = "brute"  # checkpointing drives the XLA tile loop
     if backend == "mxu":
         from .ops.pallas import mxu_kernel
         return mxu_kernel.render_film_mxu(
@@ -194,28 +230,61 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
     tile_h, spp_b, blocks = _plan(width, height, samples,
                                   scene.padded_size, backend)
     table = trace_ops.shade_table(scene)
+    sched = _sample_schedule(samples, spp_b, blocks)
 
+    meta = {"width": width, "height": height, "samples": samples,
+            "depth": depth, "seed": seed, "backend": backend,
+            "tile_h": tile_h, "spp_b": spp_b,
+            "scene_sum": float(np.asarray(scene.v1).sum()
+                               + np.asarray(scene.albedo).sum())}
+    samples_done = 0
     film = jnp.zeros((height, width, 3), jnp.float32)
+    if checkpoint is not None:
+        from .utils import checkpoint as ckpt
+        import os
+        cpath = checkpoint if checkpoint.endswith(".npz") \
+            else checkpoint + ".npz"
+        if os.path.exists(cpath):
+            film_sum, samples_done, saved = ckpt.load_render_checkpoint(
+                cpath)
+            if saved != meta:
+                raise ValueError(
+                    f"checkpoint {cpath} was written by a different render "
+                    f"config:\n  saved: {saved}\n  this:  {meta}")
+            film = jnp.asarray(film_sum)
+            if verbose:
+                print(f"Resuming at sample {samples_done}/{samples}.")
+
     done = 0
-    total = (height // tile_h) * ((samples + spp_b - 1) // spp_b)
-    for h0 in range(0, height, tile_h):
-        s = 0
-        while s < samples:
-            nb = min(blocks, (samples - s) // spp_b)
-            if nb == 0:
-                nb, this_spp = 1, samples - s
-            else:
-                this_spp = spp_b
+    total = len(sched) * (height // tile_h)
+    for ei, (s0, this_spp, nb) in enumerate(sched):
+        if s0 < samples_done:
+            done += height // tile_h
+            continue
+        for h0 in range(0, height, tile_h):
             step = _tile_step(backend, tile_h, width, height, this_spp, nb,
                               depth, seed, max_leaf, stack_size, interpret)
             acc = step(scene, table, camera, accel,
-                       jnp.int32(h0), jnp.int32(s))
+                       jnp.int32(h0), jnp.int32(s0))
             film = film.at[h0 : h0 + tile_h].add(acc)
-            s += this_spp * nb
-            done += nb
+            done += 1
             if verbose:
                 print(f"\rRendered: {done}/{total} passes.",
                       end="", flush=True)
+        samples_done = s0 + this_spp * nb
+        if checkpoint is not None and (
+                ei % checkpoint_every == checkpoint_every - 1
+                or samples_done >= samples):
+            from .utils import checkpoint as ckpt
+            ckpt.save_render_checkpoint(
+                checkpoint, np.asarray(film), samples_done, meta)
+        if _abort_after is not None and ei + 1 >= _abort_after:
+            if checkpoint is not None:
+                from .utils import checkpoint as ckpt
+                ckpt.save_render_checkpoint(
+                    checkpoint, np.asarray(film), samples_done, meta)
+            raise KeyboardInterrupt(
+                f"aborted after {ei + 1} schedule entries (test hook)")
     film = film / np.float32(samples)
     if verbose:
         print()
@@ -260,14 +329,15 @@ def render_debug_uv(res) -> Film:
 def render(camera: Camera, scene: Scene, samples: int, depth: int = 5,
            filename: Optional[str] = None, *, bvh: Optional[FlatBVH] = None,
            seed: int = prng.SEED, backend: str = "auto", gamma: float = 2.2,
-           verbose: bool = True) -> Film:
+           checkpoint: Optional[str] = None, verbose: bool = True) -> Film:
     """Full render pipeline (render_cpu/render_gpu analog, render.h:62-152):
     trace, average, gamma-correct at 2.2, optionally save a PNG.  Returns the
     gamma-corrected Film and prints wall-clock + throughput like the
     reference's Timer/progress output."""
     timer = Timer()
     film = render_film(camera, scene, samples, depth, bvh=bvh, seed=seed,
-                       backend=backend, verbose=verbose)
+                       backend=backend, checkpoint=checkpoint,
+                       verbose=verbose)
     seconds = timer.seconds()
     if verbose:
         w, h = camera.res

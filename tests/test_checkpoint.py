@@ -52,3 +52,77 @@ def test_resumed_render_matches_uninterrupted():
                                   sample_offset=4)
     resumed = (np.asarray(part1) * 4 + np.asarray(part2) * 4) / 8
     np.testing.assert_allclose(np.asarray(full), resumed, atol=1e-6)
+
+
+def test_render_film_kill_resume_bit_identical(tmp_path, monkeypatch):
+    """The integrated path: render_film is aborted mid-run (checkpoint on
+    disk), re-invoked with the same arguments, and must produce a film
+    BIT-IDENTICAL to an uninterrupted run."""
+    import pytest
+
+    import importlib
+
+    render_mod = importlib.import_module("pathtracer_tpu.render")
+
+    # Shrink the per-pass plan so this tiny render spans several schedule
+    # entries (at production sizes one entry is ~16M rays).
+    monkeypatch.setattr(render_mod, "_plan",
+                        lambda *a, **k: (16, 8, 2))  # tile_h, spp_b, blocks
+
+    cam, scene = pt.cornell_box(res=(16, 16))
+    path = os.path.join(tmp_path, "render_ck.npz")
+
+    uninterrupted = pt.render_film(cam, scene, samples=64, depth=3,
+                                   backend="brute")
+
+    with pytest.raises(KeyboardInterrupt):
+        pt.render_film(cam, scene, samples=64, depth=3, backend="brute",
+                       checkpoint=path, _abort_after=1)
+    assert os.path.exists(path)
+    _, done, _ = ckpt.load_render_checkpoint(path)
+    assert 0 < done < 64
+
+    resumed = pt.render_film(cam, scene, samples=64, depth=3,
+                             backend="brute", checkpoint=path)
+    np.testing.assert_array_equal(np.asarray(resumed.data),
+                                  np.asarray(uninterrupted.data))
+
+
+def test_render_film_checkpoint_config_mismatch(tmp_path):
+    import pytest
+
+    cam, scene = pt.corner_scene(res=(8, 8))
+    path = os.path.join(tmp_path, "ck.npz")
+    with pytest.raises(KeyboardInterrupt):
+        pt.render_film(cam, scene, samples=16, depth=3, backend="brute",
+                       checkpoint=path, _abort_after=1)
+    with pytest.raises(ValueError, match="different render config"):
+        pt.render_film(cam, scene, samples=16, depth=4, backend="brute",
+                       checkpoint=path)
+
+
+def test_recover_materials_kill_resume(tmp_path):
+    """Training resumes at the recorded step with restored Adam state: the
+    continued trajectory equals the uninterrupted one step-for-step."""
+    cam, scene = pt.corner_scene(res=(8, 8))
+    params = diff.material_params(scene)
+    target = diff.render_film_diff(cam, scene, params, samples=16, depth=2,
+                                   sample_offset=10_000)
+    kw = dict(steps=6, samples=4, depth=2, optimize=("albedo",))
+
+    mats_full, losses_full = inverse.recover_materials(
+        cam, scene, jnp.asarray(target), **kw)
+
+    path = os.path.join(tmp_path, "train_ck.npz")
+    inverse.recover_materials(cam, scene, jnp.asarray(target),
+                              checkpoint=path, checkpoint_every=3,
+                              steps=3, samples=4, depth=2,
+                              optimize=("albedo",))
+    mats_res, losses_res = inverse.recover_materials(
+        cam, scene, jnp.asarray(target), checkpoint=path,
+        checkpoint_every=3, **kw)
+
+    assert len(losses_res) == 3  # steps 3..5 only
+    np.testing.assert_allclose(losses_res, losses_full[3:], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mats_res["albedo"]),
+                               np.asarray(mats_full["albedo"]), atol=1e-5)
