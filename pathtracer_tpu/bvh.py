@@ -124,9 +124,7 @@ def build_bvh(scene: Scene, use_native: Optional[bool] = None) -> FlatBVH:
     counts obey M <= 2*T.
     """
     n = scene.num_tris
-    v1 = np.asarray(scene.v1)[:n]
-    v2 = np.asarray(scene.v2)[:n]
-    v3 = np.asarray(scene.v3)[:n]
+    v1, v2, v3 = scene.host_verts()
     tri_lb = np.minimum(np.minimum(v1, v2), v3)
     tri_rt = np.maximum(np.maximum(v1, v2), v3)
     centroids = (v1 + v2 + v3) / 3.0
@@ -200,13 +198,21 @@ def _finalize(lb, rt, left, right, start, end, tri_idx) -> FlatBVH:
     leaf = left == -1
     max_leaf = int((end[leaf] - start[leaf] + 1).max())
     depth = _tree_depth(left, right)
-    return FlatBVH(
+    bvh = FlatBVH(
         lb=jnp.asarray(lb), rt=jnp.asarray(rt),
         left=jnp.asarray(left), right=jnp.asarray(right),
         tri_start=jnp.asarray(start), tri_end=jnp.asarray(end),
         tri_idx=jnp.asarray(tri_idx),
         max_leaf=max_leaf, depth=depth,
     )
+    # Host copies for downstream host-side consumers (clusters.py): a
+    # device->host fetch through the accelerator transport costs orders of
+    # magnitude more than the arrays are worth.  Not a pytree child.
+    object.__setattr__(bvh, "_host", (
+        np.asarray(lb), np.asarray(rt), np.asarray(left),
+        np.asarray(right), np.asarray(start), np.asarray(end),
+        np.asarray(tri_idx)))
+    return bvh
 
 
 def _tree_depth(left: np.ndarray, right: np.ndarray) -> int:

@@ -105,13 +105,17 @@ def build_clusters(
     if bvh is None:
         bvh = build_bvh(scene)
     n = scene.num_tris
-    left = np.asarray(bvh.left)
-    right = np.asarray(bvh.right)
-    s_arr = np.asarray(bvh.tri_start)
-    e_arr = np.asarray(bvh.tri_end)
-    lb_arr = np.asarray(bvh.lb)
-    rt_arr = np.asarray(bvh.rt)
-    tri_idx = np.asarray(bvh.tri_idx)
+    host = getattr(bvh, "_host", None)
+    if host is not None:  # builder-attached host copies (no device fetch)
+        lb_arr, rt_arr, left, right, s_arr, e_arr, tri_idx = host
+    else:
+        left = np.asarray(bvh.left)
+        right = np.asarray(bvh.right)
+        s_arr = np.asarray(bvh.tri_start)
+        e_arr = np.asarray(bvh.tri_end)
+        lb_arr = np.asarray(bvh.lb)
+        rt_arr = np.asarray(bvh.rt)
+        tri_idx = np.asarray(bvh.tri_idx)
 
     ranges = []  # (start, end, node) inclusive, in DFS order
     stack = [0]
@@ -126,9 +130,7 @@ def build_clusters(
             stack.append(int(left[ni]))
 
     C = len(ranges)
-    v1 = np.asarray(scene.v1)[:n]
-    v2 = np.asarray(scene.v2)[:n]
-    v3 = np.asarray(scene.v3)[:n]
+    v1, v2, v3 = scene.host_verts()
 
     starts = np.zeros(C, np.int32)
     counts = np.zeros(C, np.int32)

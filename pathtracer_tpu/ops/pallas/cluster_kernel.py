@@ -58,8 +58,9 @@ def _kernel(start_ref, count_ref, bounds_ref, order_ref, tris_ref, rays_ref,
             t_ref, s_ref, *, tile_rows: int, n_clusters: int):
     """One ray tile vs every (reachable) cluster.
 
-    SMEM: start (C,), count (C,) i32; bounds (C, 8) f32; order (1, C) i32
-    (this tile's front-to-back cluster visit order).
+    SMEM: start (C,), count (C,) i32; bounds (C, 8) f32; order (1, 1,
+    C_pad) i32 (this tile's front-to-back cluster visit order,
+    lane-padded; padding ranks are never visited).
     VMEM: tris (P, 9) f32 packed [v1, e1, e2]; rays (6, tile_rows, 128)
     f32 planes [ox, oy, oz, dx, dy, dz].
     Out:  t (tile_rows, 128) f32 nearest hit or FLOAT_INF;
@@ -77,7 +78,7 @@ def _kernel(start_ref, count_ref, bounds_ref, order_ref, tris_ref, rays_ref,
 
     def visit(rank, carry):
         best_t, best_s = carry
-        c = order_ref[0, rank]
+        c = order_ref[0, 0, rank]
 
         # Slab test (aabb.h:20-29) of the whole tile vs this cluster's box.
         t1x = (bounds_ref[c, 0] - ox) * inv_dx
@@ -157,6 +158,11 @@ def _launch(start, count, bounds, order, tris, rays, *, tile_rows: int,
     n_tiles = n_rows // tile_rows
     kern = functools.partial(_kernel, tile_rows=tile_rows,
                              n_clusters=n_clusters)
+    # Mosaic requires a block's last two dims to be tile-aligned or equal
+    # to the array's; order is (n_tiles, 1, C_pad) so the (1, 1, C_pad)
+    # block's trailing dims match the array exactly.  The visit loop reads
+    # only ranks < n_clusters, so column padding is never read.
+    order_pad = order.shape[2]
     return pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -164,7 +170,7 @@ def _launch(start, count, bounds, order, tris, rays, *, tile_rows: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_clusters), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, order_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((6, tile_rows, LANES), lambda i: (0, i, 0),
@@ -256,6 +262,12 @@ def intersect_clusters(
     d2 = jnp.sum(
         (tile_origin[:, None, :] - cs.centers[None, :, :]) ** 2, axis=-1)
     order = jnp.argsort(d2, axis=1).astype(jnp.int32)
+    # Lane-align the SMEM block width (padding columns are never read:
+    # the kernel's visit loop runs exactly n_clusters ranks).
+    c_pad = ((cs.num_clusters + LANES - 1) // LANES) * LANES
+    if c_pad != cs.num_clusters:
+        order = jnp.pad(order, ((0, 0), (0, c_pad - cs.num_clusters)))
+    order = order[:, None, :]  # (n_tiles, 1, C_pad) for the SMEM block spec
 
     planes = jnp.concatenate([ray_o.T, ray_d.T], axis=0)  # (6, Rp)
     planes = planes.reshape(6, Rp // LANES, LANES)

@@ -94,9 +94,10 @@ def _plucker_matrix(scene: Scene, tp: int) -> np.ndarray:
     Padding triangles get all-zero rows -> a=0 -> rejected by the EPS test.
     """
     n = scene.num_tris
-    v1 = np.asarray(scene.v1[:n], np.float64)
-    e1 = np.asarray(scene.v2[:n], np.float64) - v1
-    e2 = np.asarray(scene.v3[:n], np.float64) - v1
+    hv1, hv2, hv3 = scene.host_verts()
+    v1 = hv1.astype(np.float64)
+    e1 = hv2.astype(np.float64) - v1
+    e2 = hv3.astype(np.float64) - v1
     nrm = np.cross(e1, e2)
 
     A = np.zeros((4 * tp, N_FEATURES), np.float64)

@@ -442,9 +442,10 @@ def _triangle_params_plucker(scene: Scene, cam_pos) -> jnp.ndarray:
       26    pad
     """
     n = scene.num_tris
-    v1 = np.asarray(scene.v1[:n], np.float64)
-    e1 = np.asarray(scene.v2[:n], np.float64) - v1
-    e2 = np.asarray(scene.v3[:n], np.float64) - v1
+    hv1, hv2, hv3 = scene.host_verts()
+    v1 = hv1.astype(np.float64)
+    e1 = hv2.astype(np.float64) - v1
+    e2 = hv3.astype(np.float64) - v1
     o = np.asarray(cam_pos, np.float64).reshape(1, 3)
     nrm = np.cross(e1, e2)
     kp = -np.cross(e2, v1)
@@ -474,8 +475,7 @@ def _packed_table(scene: Scene) -> jnp.ndarray:
 
     n = scene.num_tris
     full = shade_table(scene)[:n]
-    mtype = np.asarray(scene.mat_type)[:n]
-    emit = np.asarray(scene.emit)[:n]
+    mtype, _, emit, _ = scene.host_materials()
     if np.any((mtype != mat.EMIT) & (np.abs(emit).sum(-1) > 0)):
         raise ValueError(
             "scene has a non-EMIT material with nonzero emission; the "

@@ -235,8 +235,8 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
     meta = {"width": width, "height": height, "samples": samples,
             "depth": depth, "seed": seed, "backend": backend,
             "tile_h": tile_h, "spp_b": spp_b,
-            "scene_sum": float(np.asarray(scene.v1).sum()
-                               + np.asarray(scene.albedo).sum())}
+            "scene_sum": float(scene.host_verts()[0].sum()
+                               + scene.host_materials()[1].sum())}
     samples_done = 0
     film = jnp.zeros((height, width, 3), jnp.float32)
     if checkpoint is not None:

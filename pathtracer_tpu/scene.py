@@ -84,27 +84,57 @@ class Scene:
     def padded_size(self) -> int:
         return int(self.v1.shape[0])
 
+    def host_verts(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """UNPADDED (n, 3) vertex arrays as host numpy.
+
+        Acceleration-structure builders (bvh.py, clusters.py) run on the
+        host; pulling device arrays back through the accelerator transport
+        costs far more than the build itself, so ``SceneBuilder.build``
+        attaches the original numpy buffers and this returns them without
+        touching the device.  Scenes reconstructed through pytree
+        transforms lose the cache and fall back to a device fetch.
+        """
+        n = self.num_tris
+        cached = getattr(self, "_host_v", None)
+        if cached is not None:
+            return cached[0][:n], cached[1][:n], cached[2][:n]
+        return (np.asarray(self.v1)[:n], np.asarray(self.v2)[:n],
+                np.asarray(self.v3)[:n])
+
+    def host_materials(self):
+        """UNPADDED host (mat_type, albedo, emit, roughness) arrays, from
+        the builder's cache when available (see :meth:`host_verts`)."""
+        n = self.num_tris
+        cached = getattr(self, "_host_m", None)
+        if cached is not None:
+            return tuple(a[:n] for a in cached)
+        return (np.asarray(self.mat_type)[:n], np.asarray(self.albedo)[:n],
+                np.asarray(self.emit)[:n], np.asarray(self.roughness)[:n])
+
     def centroids(self) -> np.ndarray:
         """Host-side triangle centroids (triangle.h:17)."""
-        return np.asarray((self.v1 + self.v2 + self.v3) / 3.0)[: self.num_tris]
+        v1, v2, v3 = self.host_verts()
+        return (v1 + v2 + v3) / 3.0
 
     def aabbs(self) -> Tuple[np.ndarray, np.ndarray]:
         """Host-side per-triangle AABBs (triangle.h:19-22): (lb, rt)."""
-        v1 = np.asarray(self.v1)[: self.num_tris]
-        v2 = np.asarray(self.v2)[: self.num_tris]
-        v3 = np.asarray(self.v3)[: self.num_tris]
+        v1, v2, v3 = self.host_verts()
         lb = np.minimum(np.minimum(v1, v2), v3)
         rt = np.maximum(np.maximum(v1, v2), v3)
         return lb, rt
 
     def replace_materials(self, albedo=None, emit=None, roughness=None):
         """Return a scene with swapped material arrays (differentiable path)."""
-        return dataclasses.replace(
+        new = dataclasses.replace(
             self,
             albedo=self.albedo if albedo is None else albedo,
             emit=self.emit if emit is None else emit,
             roughness=self.roughness if roughness is None else roughness,
         )
+        cached = getattr(self, "_host_v", None)
+        if cached is not None:  # geometry is unchanged; keep the host cache
+            object.__setattr__(new, "_host_v", cached)
+        return new
 
 
 class SceneBuilder:
@@ -162,13 +192,20 @@ class SceneBuilder:
             emit[i] = m.emit
             rough[i] = m.roughness
 
-        return Scene(
+        scene = Scene(
             v1=jnp.asarray(verts[0]), v2=jnp.asarray(verts[1]),
             v3=jnp.asarray(verts[2]), mat_type=jnp.asarray(mtype),
             albedo=jnp.asarray(albedo), emit=jnp.asarray(emit),
             roughness=jnp.asarray(rough), num_tris=n,
             has_specular=bool(np.any(mtype == mat.SPECULAR)),
         )
+        # Host geometry/material caches for acceleration-structure builders
+        # and kernel scene packers (see Scene.host_verts / host_materials);
+        # not dataclass fields / pytree children.
+        object.__setattr__(scene, "_host_v",
+                           (verts[0], verts[1], verts[2]))
+        object.__setattr__(scene, "_host_m", (mtype, albedo, emit, rough))
+        return scene
 
 
 # ---------------------------------------------------------------------------
