@@ -100,6 +100,11 @@ def main(argv=None):
     p.add_argument("--target-spp", type=int, default=256)
     p.add_argument("--checkpoint", help="resume file (.npz): created if "
                    "missing, resumed from if present")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "brute", "bvh", "cluster"],
+                   help="intersection backend for the differentiable "
+                        "renders (auto: brute for small scenes, bvh for "
+                        "OBJ-scale)")
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.add_argument("--res", type=int, default=1024)
@@ -138,14 +143,18 @@ def main(argv=None):
         from . import diff
         from .inverse import recover_materials
         cam, sc = _load_scene(args.scene, (args.res, args.res))
+        backend = args.backend
+        if backend == "auto":
+            backend = "brute" if sc.padded_size <= 512 else "bvh"
+        accel = diff.make_accel(sc, backend)
         print("rendering target...")
         target = diff.render_film_diff(
             cam, sc, diff.material_params(sc), args.target_spp, args.depth,
-            sample_offset=1_000_000)
+            sample_offset=1_000_000, backend=backend, accel=accel)
         print("optimizing materials...")
         mats, losses = recover_materials(
             cam, sc, jnp.asarray(target), steps=args.steps,
-            samples=args.spp, depth=args.depth,
+            samples=args.spp, depth=args.depth, backend=backend,
             checkpoint=args.checkpoint, verbose=True)
         true_alb = np.asarray(sc.albedo)[: sc.num_tris]
         got_alb = np.asarray(mats["albedo"])[: sc.num_tris]

@@ -54,6 +54,72 @@ def material_params(scene: Scene) -> MaterialParams:
     }
 
 
+def _make_intersect(scene: Scene, backend: str, accel):
+    """Build an intersect closure for the differentiable path.
+
+    Geometry is fixed in this subsystem, and radiance never uses ``t``
+    continuously (it enters only through hit positions, which affect
+    radiance via *discrete* hit ids and normals — visibility-boundary
+    terms the estimator ignores by design, module docstring).  The
+    traversal backends are therefore wrapped with ``stop_gradient`` on
+    the ray inputs: no tangents enter their ``while_loop``/Pallas
+    internals, so ANY backend works under ``jax.grad`` and yields the
+    same material-gradient estimator as the brute path.
+    """
+    if backend == "brute":
+        def intersect(o, d):
+            return isect.intersect_brute(o, d, scene.v1, scene.v2,
+                                         scene.v3)
+    elif backend in ("bvh", "bvh-gather"):
+        fn = (isect.intersect_bvh if backend == "bvh-gather"
+              else isect.intersect_bvh_packet)
+        max_leaf, stack_size = accel.max_leaf, accel.stack_size()
+
+        def intersect(o, d):
+            o = jax.lax.stop_gradient(o)
+            d = jax.lax.stop_gradient(d)
+            flat_o = o.reshape(-1, 3)
+            flat_d = d.reshape(-1, 3)
+            t, tid = fn(flat_o, flat_d, accel, scene.v1, scene.v2,
+                        scene.v3, max_leaf=max_leaf,
+                        stack_size=stack_size)
+            return (t.reshape(o.shape[:-1]), tid.reshape(o.shape[:-1]))
+    elif backend == "cluster":
+        from .ops.pallas import cluster_kernel
+
+        interpret = jax.default_backend() == "cpu"
+
+        def intersect(o, d):
+            o = jax.lax.stop_gradient(o)
+            d = jax.lax.stop_gradient(d)
+            flat_o = o.reshape(-1, 3)
+            flat_d = d.reshape(-1, 3)
+            t, tid = cluster_kernel.intersect_clusters(
+                flat_o, flat_d, accel, interpret=interpret)
+            return (t.reshape(o.shape[:-1]), tid.reshape(o.shape[:-1]))
+    else:
+        raise ValueError(f"unknown diff backend {backend!r}")
+    return intersect
+
+
+def make_accel(scene: Scene, backend: str):
+    """Host-side acceleration-structure build for ``render_film_diff``.
+
+    Returns None for 'brute', a FlatBVH for 'bvh'/'bvh-gather', a
+    ClusterSet for 'cluster'.  Geometry never carries gradients, so the
+    structure is built once from the base scene and reused across
+    optimizer steps."""
+    if backend == "brute":
+        return None
+    if backend in ("bvh", "bvh-gather"):
+        from .bvh import build_bvh
+        return build_bvh(scene)
+    if backend == "cluster":
+        from .clusters import build_clusters
+        return build_clusters(scene)
+    raise ValueError(f"unknown diff backend {backend!r}")
+
+
 def render_film_diff(
     camera: Camera,
     scene: Scene,
@@ -63,6 +129,8 @@ def render_film_diff(
     *,
     seed: int = prng.SEED,
     sample_offset: int = 0,
+    backend: str = "brute",
+    accel=None,
 ) -> jnp.ndarray:
     """Differentiable linear film (H, W, 3) as a pure jittable function of
     ``params``.  Single fused pass (no host tiling) — use modest resolutions
@@ -71,13 +139,18 @@ def render_film_diff(
     ``sample_offset`` selects which global sample indices this pass traces,
     so several calls with disjoint offsets average to the full-spp film —
     the hook for sample-axis data parallelism.
+
+    ``backend``: 'brute' (dense, small scenes), 'bvh'/'bvh-gather' (flat
+    -BVH traversal), or 'cluster' (Pallas cluster kernel) for OBJ-scale
+    scenes; pass ``accel`` (from :func:`make_accel`) to amortize the host
+    build across optimizer steps.
     """
+    if backend != "brute" and accel is None:
+        accel = make_accel(scene, backend)
+    intersect = _make_intersect(scene, backend, accel)
     scene = scene.replace_materials(**params)
     table = trace_ops.shade_table(scene)
     width, height = camera.res
-
-    def intersect(o, d):
-        return isect.intersect_brute(o, d, scene.v1, scene.v2, scene.v3)
 
     w = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
     h = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
@@ -100,15 +173,18 @@ def make_loss(
     depth: int = 5,
     *,
     seed: int = prng.SEED,
+    backend: str = "brute",
 ):
     """MSE-vs-target loss over the linear film, as a function of params.
 
     ``sample_offset`` is exposed as an argument so the optimizer can rotate
     sample indices per step (fresh noise each step, SPSA-free)."""
+    accel = make_accel(scene, backend)
 
     def loss(params: MaterialParams, sample_offset=0):
         film = render_film_diff(camera, scene, params, samples, depth,
-                                seed=seed, sample_offset=sample_offset)
+                                seed=seed, sample_offset=sample_offset,
+                                backend=backend, accel=accel)
         return jnp.mean((film - target) ** 2)
 
     return loss

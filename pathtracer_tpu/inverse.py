@@ -80,6 +80,7 @@ def recover_materials(
     optimize: tuple = ("albedo", "emit", "roughness"),
     checkpoint: Optional[str] = None,
     checkpoint_every: int = 25,
+    backend: str = "brute",
     verbose: bool = False,
 ):
     """Gradient-descend material parameters to match ``target`` (linear film).
@@ -101,8 +102,10 @@ def recover_materials(
 
     import optax
 
+    from .diff import make_accel
     from .utils import checkpoint as ckpt
 
+    accel = make_accel(scene, backend)
     opt = optax.adam(lr)
     params = params0 if params0 is not None else init_params(scene)
     opt_state = opt.init(params)
@@ -123,7 +126,8 @@ def recover_materials(
         def loss_fn(p):
             film = render_film_diff(
                 camera, scene, to_materials(p), samples, depth,
-                seed=seed, sample_offset=k * samples)
+                seed=seed, sample_offset=k * samples,
+                backend=backend, accel=accel)
             return jnp.mean((film - target) ** 2)
 
         loss, g = jax.value_and_grad(loss_fn)(params)
