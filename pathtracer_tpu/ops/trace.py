@@ -99,6 +99,7 @@ def trace_rays(
     depth: int,
     rng_state: jnp.ndarray,
     has_specular: bool = True,
+    park_pose=None,
 ):
     """Trace a ray batch to radiance.
 
@@ -106,9 +107,22 @@ def trace_rays(
     intersect: (ray_o, ray_d) -> (t, tid).
     ray_o, ray_d: (..., 3); rng_state: (...,) uint32 per-ray hash streams.
     depth: static bounce budget.
+    park_pose: optional ((3,), (3,)) guaranteed-miss (origin, direction).
+      When given, DEAD rays are moved there instead of keeping their last
+      pose — the TPU-native analog of wavefront stream compaction: sorted
+      -traversal backends (ops/pallas/cluster_kernel) group parked rays
+      into tiles whose every cluster test fails, so dead lanes cost one
+      AABB sweep instead of full traversal.  Radiance is identical either
+      way (dead rays are masked); pass a pose outside the scene's AABB
+      pointing away from it.
     Returns radiance (..., 3).
     """
     zeros3 = jnp.zeros_like(ray_o)
+    if park_pose is not None:
+        park_o = jnp.broadcast_to(jnp.asarray(park_pose[0], jnp.float32),
+                                  ray_o.shape)
+        park_d = jnp.broadcast_to(jnp.asarray(park_pose[1], jnp.float32),
+                                  ray_o.shape)
 
     def body(carry, _):
         ray_o, ray_d, thr, rad, alive, rng = carry
@@ -144,8 +158,12 @@ def trace_rays(
         thr = thr * jnp.where(contm, 2.0 * albedo * cos[..., None], 1.0)
 
         hit_p = ray_o + ray_d * t[..., None]
-        ray_o = jnp.where(contm, hit_p + n * SHIFT_BIAS, ray_o)
-        ray_d = jnp.where(contm, new_d, ray_d)
+        if park_pose is not None:
+            ray_o = jnp.where(contm, hit_p + n * SHIFT_BIAS, park_o)
+            ray_d = jnp.where(contm, new_d, park_d)
+        else:
+            ray_o = jnp.where(contm, hit_p + n * SHIFT_BIAS, ray_o)
+            ray_d = jnp.where(contm, new_d, ray_d)
         return (ray_o, ray_d, thr, rad, cont, rng), None
 
     init = (

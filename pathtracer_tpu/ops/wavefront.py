@@ -1,33 +1,42 @@
-"""Wavefront path-tracing pipeline over SoA ray queues.
+"""Wavefront path tracing: staged bounce pipeline over SoA ray queues.
 
-The reference's megakernel (one thread = one pixel's whole path,
-shader.h:219-259) wastes lanes once paths die or diverge.  The wavefront
-restructuring (BASELINE.json north star) splits each bounce into separate
-stages over structure-of-arrays ray queues:
+The reference megakernel gives every pixel a private thread for its whole
+path (shader.h:219-259); lanes idle once paths die.  The classic CUDA
+wavefront answer is stream compaction between bounces — a global sort that
+keeps warps dense.  On a TPU the machine primitives are different, so the
+pipeline here maps each wavefront concept to what the hardware does well:
 
-    ray-gen  ->  [ traverse/intersect  ->  shade/scatter  ->  compact ] * depth
+  stage                 CUDA wavefront              this module
+  -------------------   -------------------------   -------------------------
+  ray-gen               kernel over pixel queue     ``raygen`` (fused XLA)
+  traverse/intersect    persistent-threads kernel   backend intersect
+                                                    (dense / BVH / Pallas
+                                                    cluster kernel)
+  shade/scatter         kernel + film atomics       ``bounce_stage`` +
+                                                    ``segment_sum`` by pixel
+                                                    (race-free, SURVEY §5)
+  compact               global stream compaction    PARKING: dead rays move
+                                                    to a guaranteed-miss
+                                                    pose; the cluster
+                                                    backend's coherence sort
+                                                    then packs them into
+                                                    tiles whose every AABB
+                                                    test fails (the sort it
+                                                    already does per call —
+                                                    compaction costs zero
+                                                    extra dispatches)
 
-with the film updated by scatter-add from shade results, and the queue
-compacted between bounces so later stages run dense over surviving rays.
+Control flow is fully jit-resident: ONE ``lax.scan`` over sample blocks
+wraps a ``lax.scan`` over bounces, and each bounce body sits behind a
+``lax.cond`` on "any ray alive" — once a block's queue is empty the
+remaining bounces cost one predicate each instead of an intersect pass
+(the early-exit the megakernel cannot express; it pays off at depth >= 8
+where most paths die in the first few bounces).  An explicit
+argsort-partition ``compact`` is kept for the tests and as the reference
+point the parking design replaced.
 
-TPU-specific design notes (vs the CUDA wavefront in the literature):
-
-  * Queues are fixed-capacity device arrays + a live count (XLA needs
-    static shapes); "compaction" is a stable partition that moves live rays
-    to the front (argsort of the dead flag — a race-free prefix-sum
-    scatter, SURVEY.md section 5 race-detection analog: structural, no
-    atomics).
-  * Dead-lane work isn't eliminated (the arrays keep their static size) —
-    the wins are (a) the BVH while_loop iterates only until the LIVE rays'
-    stacks drain (dead rays park with empty stacks), and (b) bounce stages
-    can be compiled per-bounce with the queue count driving early-exit via
-    lax.cond at the host level when a whole bounce has no survivors.
-  * Film accumulation uses segment-sum by pixel id (deterministic order,
-    reassociable), not atomics.
-
-For the small headline scenes the fused Pallas megakernel is faster (no
-HBM queue traffic); this pipeline is the scalable path for OBJ-size scenes
-traced with the BVH.
+The whole render is a single device dispatch: the host loop of
+render.py's tile driver disappears.
 """
 
 from __future__ import annotations
@@ -57,13 +66,16 @@ def raygen(camera, w, h, state):
     return ray_o, ray_d, state
 
 
-def bounce_stage(table, intersect_fn, queue, has_specular: bool):
+def bounce_stage(table, intersect_fn, queue, has_specular: bool,
+                 park=None):
     """One wavefront bounce: intersect + shade/scatter + continuation.
 
     queue: dict with ray_o, ray_d (R,3); thr (R,3); pix (R,) int32;
     state (R,) uint32; alive (R,) bool.
     Returns (radiance_contrib (R,3), new_queue).  The contribution is the
     per-ray ``throughput * emit`` of this bounce (zero for dead/missed).
+    ``park``: optional ((3,), (3,)) miss pose for dead rays (see module
+    docstring).
     """
     ray_o, ray_d = queue["ray_o"], queue["ray_d"]
     t, tid = intersect_fn(ray_o, ray_d)
@@ -95,9 +107,17 @@ def bounce_stage(table, intersect_fn, queue, has_specular: bool):
     thr = queue["thr"] * jnp.where(contm, 2.0 * albedo * cos[..., None], 1.0)
     hit_p = ray_o + ray_d * t[..., None]
 
+    if park is not None:
+        dead_o = jnp.broadcast_to(jnp.asarray(park[0], jnp.float32),
+                                  ray_o.shape)
+        dead_d = jnp.broadcast_to(jnp.asarray(park[1], jnp.float32),
+                                  ray_o.shape)
+    else:
+        dead_o, dead_d = ray_o, ray_d
+
     new_queue = {
-        "ray_o": jnp.where(contm, hit_p + n * SHIFT_BIAS, ray_o),
-        "ray_d": jnp.where(contm, new_d, ray_d),
+        "ray_o": jnp.where(contm, hit_p + n * SHIFT_BIAS, dead_o),
+        "ray_d": jnp.where(contm, new_d, dead_d),
         "thr": thr,
         "pix": queue["pix"],
         "state": state,
@@ -108,9 +128,31 @@ def bounce_stage(table, intersect_fn, queue, has_specular: bool):
 
 def compact(queue):
     """Stable-partition live rays to the front (prefix-sum scatter, no
-    atomics).  Dead rays keep their (inert) state at the back."""
+    atomics).  Kept as the explicit-compaction reference point; the
+    production pipeline uses parking instead (module docstring)."""
     order = jnp.argsort(~queue["alive"], stable=True)
     return {k: v[order] for k, v in queue.items()}
+
+
+def _make_intersect(scene: Scene, backend: str, accel, interpret: bool):
+    if backend == "cluster":
+        from .pallas import cluster_kernel
+
+        def intersect_fn(o, d):
+            return cluster_kernel.intersect_clusters(
+                o, d, accel, interpret=interpret)
+    elif backend == "bvh":
+        max_leaf, stack_size = accel.max_leaf, accel.stack_size()
+
+        def intersect_fn(o, d):
+            return isect.intersect_bvh_packet(
+                o, d, accel, scene.v1, scene.v2, scene.v3,
+                max_leaf=max_leaf, stack_size=stack_size)
+    else:
+        def intersect_fn(o, d):
+            return isect.intersect_brute(o, d, scene.v1, scene.v2,
+                                         scene.v3)
+    return intersect_fn
 
 
 def render_wavefront(
@@ -121,59 +163,110 @@ def render_wavefront(
     *,
     bvh=None,
     seed: int = 1,
-    compact_every: int = 1,
+    backend: str = "auto",
+    spp_per_block: Optional[int] = None,
+    compact_every: int = 0,
 ):
     """Full wavefront render to a linear film (H, W, 3).
 
-    One queue entry per (pixel, sample); contributions scatter-add into the
-    flat film by pixel id via segment_sum.
+    One queue entry per (pixel, sample-in-block); ``lax.scan`` over sample
+    blocks, ``lax.scan`` over bounces, ``lax.cond`` early-exit per bounce.
+    RNG streams are the standard per-(pixel, sample) ones, so the result
+    is bit-comparable to ``render.render_film`` at equal seed/spp.
+
+    backend: 'auto' (cluster for OBJ-scale scenes on TPU, bvh on CPU,
+    brute for small), or explicit 'brute' | 'bvh' | 'cluster'.
+    compact_every: if > 0, run the explicit argsort ``compact`` every k
+    bounces INSTEAD of parking (measurement/reference mode).
     """
     from .. import rng as prng
     from ..bvh import build_bvh
 
     width, height = camera.res
     npix = width * height
-    if bvh is None and scene.padded_size > 512:
-        bvh = build_bvh(scene)
 
-    if bvh is not None:
-        max_leaf, stack_size = bvh.max_leaf, bvh.stack_size()
+    if backend == "auto":
+        if scene.padded_size <= 512:
+            backend = "brute"
+        else:
+            backend = ("cluster"
+                       if jax.default_backend() not in ("cpu",) else "bvh")
 
-        def intersect_fn(o, d):
-            return isect.intersect_bvh(o, d, bvh, scene.v1, scene.v2,
-                                       scene.v3, max_leaf=max_leaf,
-                                       stack_size=stack_size)
-    else:
-        def intersect_fn(o, d):
-            return isect.intersect_brute(o, d, scene.v1, scene.v2, scene.v3)
+    accel = bvh
+    interpret = False
+    park = None
+    if backend == "bvh":
+        if accel is None:
+            accel = build_bvh(scene)
+    elif backend == "cluster":
+        from ..clusters import ClusterSet, build_clusters
+        if not isinstance(accel, ClusterSet):
+            accel = build_clusters(scene, bvh=accel)
+        interpret = jax.default_backend() == "cpu"
+    if backend in ("bvh", "cluster") and not compact_every:
+        v1h, v2h, v3h = scene.host_verts()
+        import numpy as np
+        rt = np.maximum(np.maximum(v1h, v2h), v3h).max(0)
+        park = (tuple(float(x) + 1.0 for x in rt), (1.0, 0.0, 0.0))
 
+    intersect_fn = _make_intersect(scene, backend, accel, interpret)
     table = shade_table(scene)
 
-    @jax.jit
-    def one_sample_batch(sidx):
-        pix = jnp.arange(npix, dtype=jnp.int32)
-        w = pix % width
-        h = pix // width
+    if spp_per_block is None:
+        # ~2M rays per block, floor 1 spp.
+        spp_per_block = max(1, min(samples, (1 << 21) // npix))
+    while samples % spp_per_block:
+        spp_per_block -= 1
+    n_blocks = samples // spp_per_block
+    R = npix * spp_per_block
+
+    pix = jnp.tile(jnp.arange(npix, dtype=jnp.int32), spp_per_block)
+    w = pix % width
+    h = pix // width
+    s_in_block = jnp.repeat(jnp.arange(spp_per_block, dtype=jnp.int32),
+                            npix)
+
+    def one_block(film, b):
+        sidx = b * spp_per_block + s_in_block
         state = prng.sample_seed(w, h, height, sidx, seed)
         ray_o, ray_d, state = raygen(camera, w, h, state)
         queue = {
             "ray_o": ray_o, "ray_d": ray_d,
-            "thr": jnp.ones((npix, 3), jnp.float32),
+            "thr": jnp.ones((R, 3), jnp.float32),
             "pix": pix, "state": state,
-            "alive": jnp.ones((npix,), bool),
+            "alive": jnp.ones((R,), bool),
         }
-        film = jnp.zeros((npix, 3), jnp.float32)
-        for d in range(depth):
-            contrib, queue = bounce_stage(table, intersect_fn, queue,
-                                          scene.has_specular)
-            film = film + jax.ops.segment_sum(
-                contrib, queue["pix"], num_segments=npix)
-            if compact_every and (d + 1) % compact_every == 0 and d + 1 < depth:
-                queue = compact(queue)
-        return film
 
-    film = jnp.zeros((npix, 3), jnp.float32)
-    for s in range(samples):
-        film = film + one_sample_batch(jnp.int32(s))
-    film = film / jnp.float32(samples)
-    return film.reshape(height, width, 3)
+        def one_bounce(carry, k):
+            film, queue = carry
+
+            def live(args):
+                film, queue = args
+                contrib, queue = bounce_stage(
+                    table, intersect_fn, queue, scene.has_specular,
+                    park=park)
+                film = film + jax.ops.segment_sum(
+                    contrib, queue["pix"], num_segments=npix)
+                if compact_every:
+                    queue = jax.lax.cond(
+                        (k + 1) % compact_every == 0, compact,
+                        lambda q: q, queue)
+                return film, queue
+
+            film, queue = jax.lax.cond(
+                jnp.any(queue["alive"]), live, lambda a: a, (film, queue))
+            return (film, queue), None
+
+        (film, _), _ = jax.lax.scan(
+            one_bounce, (film, queue),
+            jnp.arange(depth, dtype=jnp.int32))
+        return film, None
+
+    @jax.jit
+    def run():
+        film0 = jnp.zeros((npix, 3), jnp.float32)
+        film, _ = jax.lax.scan(one_block, film0,
+                               jnp.arange(n_blocks, dtype=jnp.int32))
+        return film / jnp.float32(samples)
+
+    return run().reshape(height, width, 3)

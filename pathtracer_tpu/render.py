@@ -49,12 +49,13 @@ _STEP_CACHE = {}
 
 def _tile_step(backend: str, tile_h: int, width: int, res_y: int, spp_b: int,
                n_blocks: int, depth: int, base_seed: int,
-               max_leaf: int, stack_size: int, interpret: bool = False):
+               max_leaf: int, stack_size: int, interpret: bool = False,
+               park=None):
     """Build (and cache) the jitted pass: trace ``n_blocks`` sample blocks of
     ``spp_b`` samples for a ``tile_h x width`` pixel tile, returning the tile's
     radiance SUM over those samples."""
     key = (backend, tile_h, width, res_y, spp_b, n_blocks, depth, base_seed,
-           max_leaf, stack_size, interpret)
+           max_leaf, stack_size, interpret, park)
     if key in _STEP_CACHE:
         return _STEP_CACHE[key]
 
@@ -100,7 +101,8 @@ def _tile_step(backend: str, tile_h: int, width: int, res_y: int, spp_b: int,
             ray_o, ray_d = get_rays(cam, w[None], h[None], u1, u2)
             rad = trace_ops.trace_rays(table, intersect, ray_o, ray_d,
                                        depth, state,
-                                       has_specular=scene.has_specular)
+                                       has_specular=scene.has_specular,
+                                       park_pose=park)
             return acc + jnp.sum(rad, axis=0), None
 
         acc0 = jnp.zeros((tile_h, width, 3), jnp.float32)
@@ -212,9 +214,15 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
         from .ops.pallas import mxu_kernel
         return mxu_kernel.render_film_mxu(
             camera, scene, samples, depth, seed=seed, verbose=verbose)
+    if backend == "wavefront":
+        from .ops import wavefront
+        film = wavefront.render_wavefront(
+            camera, scene, samples, depth, bvh=bvh, seed=seed)
+        return Film(camera.res, data=film)
     accel = bvh
     max_leaf = stack_size = 0
     interpret = False
+    park = None
     if backend in ("bvh", "bvh-gather"):
         if accel is None:
             accel = build_bvh(scene)
@@ -225,6 +233,14 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
         if not isinstance(accel, ClusterSet):
             accel = build_clusters(scene, bvh=accel)
         interpret = not _on_tpu()  # Pallas interpreter on CPU (tests)
+    if backend in ("bvh", "bvh-gather", "cluster"):
+        # Park dead rays at a guaranteed-miss pose (see trace_rays): the
+        # coherence sort then packs them into tiles that fail every AABB
+        # test, the structural analog of wavefront compaction.
+        _, _, v3h = scene.host_verts()
+        rt_scene = np.maximum(np.maximum(*scene.host_verts()[:2]),
+                              v3h).max(0)
+        park = (tuple(float(x) + 1.0 for x in rt_scene), (1.0, 0.0, 0.0))
 
     width, height = camera.res
     tile_h, spp_b, blocks = _plan(width, height, samples,
@@ -263,7 +279,8 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
             continue
         for h0 in range(0, height, tile_h):
             step = _tile_step(backend, tile_h, width, height, this_spp, nb,
-                              depth, seed, max_leaf, stack_size, interpret)
+                              depth, seed, max_leaf, stack_size, interpret,
+                              park)
             acc = step(scene, table, camera, accel,
                        jnp.int32(h0), jnp.int32(s0))
             film = film.at[h0 : h0 + tile_h].add(acc)
