@@ -25,16 +25,22 @@ def main():
     depth = int(os.environ.get("BENCH_DEPTH", "5"))
     spp = int(os.environ.get("BENCH_SPP", "64"))
 
+    import numpy as np
+
+    backend = os.environ.get("BENCH_BVH_BACKEND", "cluster")
     cam, sb = meshes.sphere_in_box(50, 100)
     scene = sb.build()
     cam = dataclasses.replace(cam, res=(res, res))
     bvh = pt.build_bvh(scene)
 
-    pt.render_film(cam, scene, samples=8, depth=depth, bvh=bvh,
-                   backend="bvh")  # warm/compile
+    # Fetch-fenced timing (block_until_ready does not fence on relayed
+    # accelerator transports, see bench.py): warm + drain, then measure.
+    np.asarray(pt.render_film(cam, scene, samples=spp, depth=depth,
+                              bvh=bvh, backend=backend).data)
     t0 = time.perf_counter()
-    pt.render_film(cam, scene, samples=spp, depth=depth, bvh=bvh,
-                   backend="bvh")
+    film = pt.render_film(cam, scene, samples=spp, depth=depth, bvh=bvh,
+                          backend=backend)
+    np.asarray(film.data)
     dt = time.perf_counter() - t0
 
     rays = res * res * spp * depth
@@ -42,6 +48,7 @@ def main():
         "metric": f"rays_per_sec_bvh_{scene.num_tris}tris_{res}",
         "value": rays / dt,
         "unit": "rays/s",
+        "backend": backend,
         "tris": int(scene.num_tris),
         "bvh_nodes": int(bvh.num_nodes),
         "seconds": dt,

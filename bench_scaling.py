@@ -46,11 +46,14 @@ def main():
     size = 1
     while size <= n:
         mesh = make_mesh(size)
-        render_film_sharded(mesh, cam, scene, samples=args.spp,
-                            depth=args.depth)  # warm
+        import numpy as np
+        # Fetch-fenced timing: block_until_ready does not fence on relayed
+        # accelerator transports (see bench.py).
+        np.asarray(render_film_sharded(mesh, cam, scene, samples=args.spp,
+                                       depth=args.depth))  # warm + drain
         t0 = time.perf_counter()
-        render_film_sharded(mesh, cam, scene, samples=args.spp,
-                            depth=args.depth)
+        np.asarray(render_film_sharded(mesh, cam, scene, samples=args.spp,
+                                       depth=args.depth))
         dt = time.perf_counter() - t0
         r = {"devices": size, "mesh": dict(mesh.shape),
              "rays_per_sec": rays / dt, "seconds": dt}
