@@ -111,13 +111,24 @@ def recover_materials(
     opt_state = opt.init(params)
     frozen = {k: (0.0 if k in optimize else 1.0) for k in params}
 
+    # Resuming with a different backend (or scene) would silently continue
+    # with a different gradient estimator; record both and abort on
+    # mismatch, like render_film's checkpoint meta validation.
+    meta = {"samples": samples, "depth": depth, "seed": seed,
+            "backend": backend,
+            "scene_sum": float(scene.host_verts()[0].sum()
+                               + scene.host_materials()[1].sum())}
     start_step = 0
     if checkpoint is not None:
         cpath = checkpoint if checkpoint.endswith(".npz") \
             else checkpoint + ".npz"
         if os.path.exists(cpath):
-            params, opt_state, start_step, _ = ckpt.load_train_checkpoint(
+            params, opt_state, start_step, saved = ckpt.load_train_checkpoint(
                 cpath, params, opt_state)
+            if saved != meta:
+                raise ValueError(
+                    f"checkpoint {cpath} was written by a different "
+                    f"training config:\n  saved: {saved}\n  this:  {meta}")
             if verbose:
                 print(f"Resuming at step {start_step}/{steps}.")
 
@@ -145,6 +156,5 @@ def recover_materials(
         if checkpoint is not None and (
                 (k + 1) % checkpoint_every == 0 or k == steps - 1):
             ckpt.save_train_checkpoint(
-                checkpoint, params, opt_state, k + 1,
-                {"samples": samples, "depth": depth, "seed": seed})
+                checkpoint, params, opt_state, k + 1, meta)
     return to_materials(params), np.asarray(losses)

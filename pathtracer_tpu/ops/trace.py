@@ -91,6 +91,21 @@ def gather_features(table: jnp.ndarray, tid: jnp.ndarray) -> jnp.ndarray:
 IntersectFn = Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
 
+def park_pose(scene: Scene):
+    """Guaranteed-miss pose for dead rays: beyond the scene AABB's +corner,
+    pointing +x away from it.  The offset is extent-relative (not a fixed
+    +1.0) so it survives float32 rounding for scenes with large
+    coordinates (a +1.0 at coordinates ~2^24 rounds away and the parked
+    origin would land ON the AABB face)."""
+    import numpy as np
+
+    v1h, v2h, v3h = scene.host_verts()
+    hi = np.maximum(np.maximum(v1h, v2h), v3h).max(0)
+    lo = np.minimum(np.minimum(v1h, v2h), v3h).min(0)
+    off = max(1.0, 1e-3 * float((hi - lo).max()))
+    return (tuple(float(x) + off for x in hi), (1.0, 0.0, 0.0))
+
+
 def trace_rays(
     table: jnp.ndarray,
     intersect: IntersectFn,

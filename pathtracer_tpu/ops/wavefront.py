@@ -51,7 +51,7 @@ from ..linalg import SHIFT_BIAS, dot
 from ..scene import Scene
 from . import intersect as isect
 from .trace import (_ALBEDO, _EMIT, _IS_EMIT, _IS_SPEC, _NORMAL, _ROUGH,
-                    gather_features, shade_table)
+                    gather_features, park_pose, shade_table)
 
 
 def raygen(camera, w, h, state):
@@ -172,7 +172,9 @@ def render_wavefront(
     One queue entry per (pixel, sample-in-block); ``lax.scan`` over sample
     blocks, ``lax.scan`` over bounces, ``lax.cond`` early-exit per bounce.
     RNG streams are the standard per-(pixel, sample) ones, so the result
-    is bit-comparable to ``render.render_film`` at equal seed/spp.
+    numerically matches ``render.render_film`` at equal seed/spp up to
+    float32 reassociation (film accumulation order differs: per-bounce
+    ``segment_sum`` over a block scan here vs per-tile sample sums there).
 
     backend: 'auto' (cluster for OBJ-scale scenes on TPU, bvh on CPU,
     brute for small), or explicit 'brute' | 'bvh' | 'cluster'.
@@ -204,10 +206,7 @@ def render_wavefront(
             accel = build_clusters(scene, bvh=accel)
         interpret = jax.default_backend() == "cpu"
     if backend in ("bvh", "cluster") and not compact_every:
-        v1h, v2h, v3h = scene.host_verts()
-        import numpy as np
-        rt = np.maximum(np.maximum(v1h, v2h), v3h).max(0)
-        park = (tuple(float(x) + 1.0 for x in rt), (1.0, 0.0, 0.0))
+        park = park_pose(scene)
 
     intersect_fn = _make_intersect(scene, backend, accel, interpret)
     table = shade_table(scene)

@@ -215,6 +215,12 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
         return mxu_kernel.render_film_mxu(
             camera, scene, samples, depth, seed=seed, verbose=verbose)
     if backend == "wavefront":
+        if checkpoint is not None:
+            raise ValueError(
+                "backend='wavefront' does not support checkpointing (the "
+                "whole render is one device dispatch with no host-visible "
+                "sample boundary to save at); use backend='pallas' or the "
+                "XLA tile backends for resumable renders")
         from .ops import wavefront
         film = wavefront.render_wavefront(
             camera, scene, samples, depth, bvh=bvh, seed=seed)
@@ -237,10 +243,7 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
         # Park dead rays at a guaranteed-miss pose (see trace_rays): the
         # coherence sort then packs them into tiles that fail every AABB
         # test, the structural analog of wavefront compaction.
-        _, _, v3h = scene.host_verts()
-        rt_scene = np.maximum(np.maximum(*scene.host_verts()[:2]),
-                              v3h).max(0)
-        park = (tuple(float(x) + 1.0 for x in rt_scene), (1.0, 0.0, 0.0))
+        park = trace_ops.park_pose(scene)
 
     width, height = camera.res
     tile_h, spp_b, blocks = _plan(width, height, samples,
