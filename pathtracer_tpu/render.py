@@ -211,9 +211,11 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
         if backend == "pallas":
             backend = "brute"  # checkpointing drives the XLA tile loop
     if backend == "mxu":
-        from .ops.pallas import mxu_kernel
-        return mxu_kernel.render_film_mxu(
-            camera, scene, samples, depth, seed=seed, verbose=verbose)
+        raise ValueError(
+            "the MXU-offloaded kernel was removed after losing its ablation "
+            "(see README 'MXU ablation'): with a 16-wide feature vector the "
+            "systolic array pads K to 128 (~8% utilization), landing at VPU "
+            "speed before relayout cost; use backend='pallas'")
     if backend == "wavefront":
         if checkpoint is not None:
             raise ValueError(
