@@ -164,3 +164,235 @@ def build_clusters(
         num_clusters=C,
         max_count=int(counts.max()) if C else 0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-level beam acceleration structure (ops/pallas/beam_kernel.py)
+# ---------------------------------------------------------------------------
+
+BEAM_CTRIS = 16        # triangles per cluster (padded exactly to this)
+BEAM_SC_TRIS = 512     # supercluster cut size
+BEAM_BLOCK = 8         # kernel tri-block width; BEAM_CTRIS % BEAM_BLOCK == 0
+MAX_BEAM_MATERIALS = 64
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BeamAccel:
+    """Device arrays for the scalar-scheduled beam kernel.
+
+    The SAH BVH (same tree as the reference, bvh.h:79-155) is cut twice:
+    at <= sc_tris into S SUPERCLUSTERS, and each supercluster's subtree at
+    <= ctris into CLUSTERS.  Clusters are padded to exactly ``ctris``
+    packed triangle rows (degenerate padding rows are rejected by the
+    |det| < EPS test, triangle.h:25-44), so cluster c owns rows
+    [c*ctris, (c+1)*ctris) — the scalar scheduler emits plain cluster ids
+    as work units, no offset tables needed.
+
+    tri_cols: (P, 16) f32 rows [v1(3), e1(3), e2(3), mat_id, N(3), pad(3)]
+        where N = e1 x e2 (unnormalized geometric normal, triangle.h:45-49)
+        and mat_id indexes ``mats``.
+    tid_map:  (P,) i32 original triangle id per row (-1 padding).
+    cl_bounds: (C, 8) f32 [lb(3), rt(3), pad(2)] cluster AABBs.
+    sc_bounds: (S, 8) f32 supercluster AABBs.
+    sc_first/sc_ncl: (S,) i32 first cluster id / cluster count.
+    sc_order: (8, S) i32 per-octant front-to-back supercluster visit order
+        (ascending projection of the box center on the octant diagonal).
+    mats: (M, 8) f32 packed material table [color(3), rough, flags, pad(3)]
+        with color = emit_color for EMIT else albedo, flags 2/1/0 for
+        EMIT/SPECULAR/DIFFUSE (the trace_kernel packing).
+    """
+
+    tri_cols: jnp.ndarray
+    tid_map: jnp.ndarray
+    cl_bounds: jnp.ndarray
+    sc_bounds: jnp.ndarray
+    sc_first: jnp.ndarray
+    sc_ncl: jnp.ndarray
+    sc_order: jnp.ndarray
+    mats: jnp.ndarray
+    num_clusters: int
+    num_superclusters: int
+    num_materials: int
+    ctris: int
+
+    def tree_flatten(self):
+        return (
+            (self.tri_cols, self.tid_map, self.cl_bounds, self.sc_bounds,
+             self.sc_first, self.sc_ncl, self.sc_order, self.mats),
+            (self.num_clusters, self.num_superclusters, self.num_materials,
+             self.ctris),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, num_clusters=aux[0], num_superclusters=aux[1],
+                   num_materials=aux[2], ctris=aux[3])
+
+    @property
+    def scene_bounds(self):
+        return (self.sc_bounds[:, 0:3].min(axis=0),
+                self.sc_bounds[:, 3:6].max(axis=0))
+
+
+def build_beam_accel(
+    scene: Scene,
+    bvh: Optional[FlatBVH] = None,
+    ctris: int = BEAM_CTRIS,
+    sc_tris: int = BEAM_SC_TRIS,
+) -> BeamAccel:
+    """Cut the SAH BVH into (supercluster, cluster) levels for the beam
+    kernel.  Leaves bigger than the cut sizes (rare; SAH termination) are
+    split by centroid median so the padding invariant holds."""
+    from . import materials as mat
+
+    assert ctris % PACK_PAD == 0
+    if bvh is None:
+        bvh = build_bvh(scene)
+    host = getattr(bvh, "_host", None)
+    if host is not None:
+        lb_arr, rt_arr, left, right, s_arr, e_arr, tri_idx = host
+    else:
+        left = np.asarray(bvh.left)
+        right = np.asarray(bvh.right)
+        s_arr = np.asarray(bvh.tri_start)
+        e_arr = np.asarray(bvh.tri_end)
+        lb_arr = np.asarray(bvh.lb)
+        rt_arr = np.asarray(bvh.rt)
+        tri_idx = np.asarray(bvh.tri_idx)
+
+    v1, v2, v3 = scene.host_verts()
+    cent = (v1 + v2 + v3) / 3.0
+
+    def cut(node, limit):
+        """Subtree ranges of <= limit tris, DFS order: [(s, e, node)]."""
+        out = []
+        stack = [node]
+        while stack:
+            ni = stack.pop()
+            cnt = int(e_arr[ni]) - int(s_arr[ni]) + 1
+            if left[ni] == -1 or cnt <= limit:
+                out.append((int(s_arr[ni]), int(e_arr[ni]), ni))
+            else:
+                stack.append(int(right[ni]))
+                stack.append(int(left[ni]))
+        return out
+
+    def split_range(ids, limit):
+        """Split an oversized leaf range by centroid median (longest
+        axis) until every chunk fits ``limit``."""
+        if ids.size <= limit:
+            return [ids]
+        c = cent[ids]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = ids.size // 2
+        return (split_range(ids[order[:half]], limit)
+                + split_range(ids[order[half:]], limit))
+
+    # Supercluster ranges, then cluster ranges within each.
+    sc_ranges = cut(0, sc_tris)
+    sc_first, sc_ncl, sc_bounds = [], [], []
+    cl_tid_chunks, cl_bounds = [], []
+    for (s, e, ni) in sc_ranges:
+        sc_first.append(len(cl_tid_chunks))
+        if left[ni] == -1 and e - s + 1 > sc_tris:
+            chunks = split_range(tri_idx[s : e + 1].copy(), ctris)
+        else:
+            chunks = []
+            for (cs, ce, cn) in cut(ni, ctris):
+                ids = tri_idx[cs : ce + 1].copy()
+                chunks.extend(split_range(ids, ctris))
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        for ids in chunks:
+            pts = np.concatenate([v1[ids], v2[ids], v3[ids]], axis=0)
+            clo, chi = pts.min(0), pts.max(0)
+            cl_tid_chunks.append(ids)
+            cl_bounds.append(np.concatenate([clo, chi, [0, 0]]))
+            lo = np.minimum(lo, clo)
+            hi = np.maximum(hi, chi)
+        sc_ncl.append(len(cl_tid_chunks) - sc_first[-1])
+        sc_bounds.append(np.concatenate([lo, hi, [0, 0]]))
+
+    C = len(cl_tid_chunks)
+    S = len(sc_ranges)
+    assert sum(len(ids) for ids in cl_tid_chunks) == scene.num_tris
+
+    # Material dedup -> packed table (trace_kernel._packed_table rules).
+    mtype, albedo, emit, rough = scene.host_materials()
+    if np.any((mtype != mat.EMIT) & (np.abs(emit).sum(-1) > 0)):
+        raise ValueError(
+            "scene has a non-EMIT material with nonzero emission; the "
+            "packed beam kernel cannot represent it — use backend='brute'")
+    keys = {}
+    mat_id = np.zeros(scene.num_tris, np.int32)
+    rows = []
+    for i in range(scene.num_tris):
+        key = (int(mtype[i]), tuple(np.round(albedo[i], 7)),
+               tuple(np.round(emit[i], 7)), round(float(rough[i]), 7))
+        if key not in keys:
+            color = emit[i] if mtype[i] == mat.EMIT else albedo[i]
+            flag = (2.0 if mtype[i] == mat.EMIT
+                    else 1.0 if mtype[i] == mat.SPECULAR else 0.0)
+            keys[key] = len(rows)
+            rows.append(np.concatenate(
+                [color, [rough[i], flag, 0, 0, 0]]).astype(np.float32))
+        mat_id[i] = keys[key]
+    M = len(rows)
+    if M > MAX_BEAM_MATERIALS:
+        raise ValueError(
+            f"scene has {M} unique materials (> {MAX_BEAM_MATERIALS}); "
+            f"use the cluster/bvh backends")
+
+    # Packed triangle rows, cluster-padded to exactly ctris.
+    P = C * ctris
+    tri_cols = np.zeros((P, 16), np.float32)
+    tid_map = np.full(P, -1, np.int32)
+    for ci, ids in enumerate(cl_tid_chunks):
+        r0 = ci * ctris
+        n = ids.size
+        tri_cols[r0 : r0 + n, 0:3] = v1[ids]
+        e1 = v2[ids] - v1[ids]
+        e2 = v3[ids] - v1[ids]
+        tri_cols[r0 : r0 + n, 3:6] = e1
+        tri_cols[r0 : r0 + n, 6:9] = e2
+        tri_cols[r0 : r0 + n, 9] = mat_id[ids]
+        tri_cols[r0 : r0 + n, 10:13] = np.cross(e1, e2)
+        tid_map[r0 : r0 + n] = ids
+
+    # Pad both bounds arrays to an 8-multiple with INVERTED never-hit
+    # boxes (lb=+INF > rt=-INF -> tmin > tmax in any slab test): the
+    # kernel sweeps boxes in 8-aligned groups and may read past the ends.
+    def pad8(arr):
+        arr = np.asarray(arr, np.float32).reshape(-1, 8)
+        padrow = np.array([[3e38, 3e38, 3e38, -3e38, -3e38, -3e38, 0, 0]],
+                          np.float32)
+        k = (-len(arr)) % 8 + 8
+        return np.concatenate([arr, np.repeat(padrow, k, 0)], axis=0)
+
+    cl_bounds = pad8(cl_bounds)
+
+    # Per-octant front-to-back supercluster orders.
+    sc_bounds = np.asarray(sc_bounds, np.float32)
+    centers = 0.5 * (sc_bounds[:, 0:3] + sc_bounds[:, 3:6])
+    order = np.zeros((8, S), np.int32)
+    for o in range(8):
+        sign = np.array([1 if o & 1 else -1, 1 if o & 2 else -1,
+                         1 if o & 4 else -1], np.float32)
+        order[o] = np.argsort(centers @ sign, kind="stable")
+
+    return BeamAccel(
+        tri_cols=jnp.asarray(tri_cols),
+        tid_map=jnp.asarray(tid_map),
+        cl_bounds=jnp.asarray(cl_bounds),
+        sc_bounds=jnp.asarray(pad8(sc_bounds)),
+        sc_first=jnp.asarray(np.asarray(sc_first, np.int32)),
+        sc_ncl=jnp.asarray(np.asarray(sc_ncl, np.int32)),
+        sc_order=jnp.asarray(order),
+        mats=jnp.asarray(np.stack(rows)),
+        num_clusters=C,
+        num_superclusters=S,
+        num_materials=M,
+        ctris=ctris,
+    )

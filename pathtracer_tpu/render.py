@@ -216,6 +216,15 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
             "(see README 'MXU ablation'): with a 16-wide feature vector the "
             "systolic array pads K to 128 (~8% utilization), landing at VPU "
             "speed before relayout cost; use backend='pallas'")
+    if backend == "beam":
+        if checkpoint is not None:
+            raise ValueError(
+                "backend='beam' does not support checkpointing yet; use "
+                "backend='cluster' for resumable large-scene renders")
+        from .ops.pallas import beam_kernel
+        return beam_kernel.render_film_beam(
+            camera, scene, samples, depth, seed=seed,
+            interpret=not _on_tpu(), verbose=verbose)
     if backend == "wavefront":
         if checkpoint is not None:
             raise ValueError(
