@@ -77,6 +77,11 @@ MAX_RUNS = 1000               # SMEM run-list capacity (clusters per phase)
 MAX_BEAM_CLUSTERS = 1000      # bit-plane capacity (8x128 minus header)
 MAX_BEAM_SC = 126
 
+# diagnostic knobs (scratch/beam_sweep2.py): statically disable stages
+DEBUG_SKIP_RUNS = False     # skip the triangle run engine
+DEBUG_SKIP_SWEEPS = False   # bit-planes forced to zero (no slab compute)
+DEBUG_COUNT_RUNS = False    # film channel 0 accumulates emitted run counts
+
 _GOLDEN = np.uint32(0x9E3779B9)
 _INV_U24 = np.float32(1.0 / 16777216.0)
 
@@ -114,7 +119,7 @@ def _deinterleave_bits(v):
 
 def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             clb_ref, mats_ref, tris_ref, film_ref,
-            xfer_vmem, xfer_smem, runs_ref, squeue_ref, sem, *,
+            xfer_vmem, xfer_smem, runs_ref, squeue_ref, best_ref, sem, *,
             tile_rows: int, depth: int, spp: int, n_sc: int, n_cl: int,
             n_mats: int, ctris: int, has_specular: bool, spec_tries: int,
             interpret: bool):
@@ -271,8 +276,9 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
 
             # --- supercluster sweep -> bits + header -> scalar core ------
             acc = jnp.zeros((8, LANES), jnp.float32)
-            for g in range((n_sc + 7) // 8):   # static: S is small
-                acc = sweep_group(scb_ref, jnp.int32(g), best_t, acc)
+            if not DEBUG_SKIP_SWEEPS:
+                for g in range((n_sc + 7) // 8):   # static: S is small
+                    acc = sweep_group(scb_ref, jnp.int32(g), best_t, acc)
             hdr = (row8 == (_HDR_OCT & 7)) & (lane8 == (_HDR_OCT >> 3))
             acc = jnp.where(hdr, octant, acc)
             hdr = (row8 == (_HDR_ALIVE & 7)) & (lane8 == (_HDR_ALIVE >> 3))
@@ -313,6 +319,8 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
 
                     return jax.lax.fori_loop(g0, g1, grp, acc)
 
+                if DEBUG_SKIP_SWEEPS:
+                    return jnp.zeros((8, LANES), jnp.float32)
                 return jax.lax.fori_loop(0, nq, sqb,
                                          jnp.zeros((8, LANES), jnp.float32))
 
@@ -343,63 +351,81 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                     cond, body, (q0, c0, jnp.int32(0), jnp.int32(0)))
                 return n, qi, ci
 
+            # The run engine accumulates hit state in VMEM scratch refs
+            # instead of fori carries: 5 quantities x 4 vregs of carry
+            # would pressure the register allocator into spilling inside
+            # the hot loop, and ref round-trips per 8-tri block are cheap.
+            bpc = ctris // BLOCK  # blocks per cluster (static)
+            best_ref[0] = best_t
+            best_ref[1] = f_mat
+            best_ref[2] = f_nx
+            best_ref[3] = f_ny
+            best_ref[4] = f_nz
+
+            def run_blocks(bi, _):
+                c = runs_ref[bi // bpc]
+                base = c * ctris + (bi % bpc) * BLOCK
+                best_t = best_ref[0]
+                f_mat = best_ref[1]
+                f_nx = best_ref[2]
+                f_ny = best_ref[3]
+                f_nz = best_ref[4]
+                for j in range(BLOCK):
+                    slot = base + j
+                    v1x = tris_ref[slot, 0]
+                    v1y = tris_ref[slot, 1]
+                    v1z = tris_ref[slot, 2]
+                    e1x = tris_ref[slot, 3]
+                    e1y = tris_ref[slot, 4]
+                    e1z = tris_ref[slot, 5]
+                    e2x = tris_ref[slot, 6]
+                    e2y = tris_ref[slot, 7]
+                    e2z = tris_ref[slot, 8]
+                    hx = dy * e2z - dz * e2y
+                    hy = dz * e2x - dx * e2z
+                    hz = dx * e2y - dy * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    rr = pl.reciprocal(a, approx=True)
+                    f = rr * (2.0 - a * rr)
+                    sx = ox - v1x
+                    sy = oy - v1y
+                    sz = oz - v1z
+                    u = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = f * (dx * qx + dy * qy + dz * qz)
+                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = ((jnp.abs(a) >= EPS) & (u >= 0.0)
+                          & (v >= 0.0) & (u + v <= 1.0)
+                          & (tt > 0.0) & (tt < best_t))
+                    best_t = jnp.where(ok, tt, best_t)
+                    f_mat = jnp.where(ok, tris_ref[slot, 9], f_mat)
+                    f_nx = jnp.where(ok, tris_ref[slot, 10], f_nx)
+                    f_ny = jnp.where(ok, tris_ref[slot, 11], f_ny)
+                    f_nz = jnp.where(ok, tris_ref[slot, 12], f_nz)
+                best_ref[0] = best_t
+                best_ref[1] = f_mat
+                best_ref[2] = f_nx
+                best_ref[3] = f_ny
+                best_ref[4] = f_nz
+                return 0
+
             qi = jnp.int32(0)
             ci = jnp.int32(0)
+            nruns_total = jnp.zeros((1, 1), jnp.float32)
             for phase, budget in enumerate(PHASE_BUDGETS):
                 to_smem(cl_sweep(nq, best_t))
                 n_runs, qi, ci = walk(qi, ci, jnp.int32(budget), nq)
-
-                def run_body(r, carry):
-                    best_t, f_mat, f_nx, f_ny, f_nz = carry
-                    c = runs_ref[r]
-                    base0 = c * ctris
-
-                    def blk(i, carry):
-                        best_t, f_mat, f_nx, f_ny, f_nz = carry
-                        base = base0 + i * BLOCK
-                        for j in range(BLOCK):
-                            slot = base + j
-                            v1x = tris_ref[slot, 0]
-                            v1y = tris_ref[slot, 1]
-                            v1z = tris_ref[slot, 2]
-                            e1x = tris_ref[slot, 3]
-                            e1y = tris_ref[slot, 4]
-                            e1z = tris_ref[slot, 5]
-                            e2x = tris_ref[slot, 6]
-                            e2y = tris_ref[slot, 7]
-                            e2z = tris_ref[slot, 8]
-                            hx = dy * e2z - dz * e2y
-                            hy = dz * e2x - dx * e2z
-                            hz = dx * e2y - dy * e2x
-                            a = e1x * hx + e1y * hy + e1z * hz
-                            rr = pl.reciprocal(a, approx=True)
-                            f = rr * (2.0 - a * rr)
-                            sx = ox - v1x
-                            sy = oy - v1y
-                            sz = oz - v1z
-                            u = f * (sx * hx + sy * hy + sz * hz)
-                            qx = sy * e1z - sz * e1y
-                            qy = sz * e1x - sx * e1z
-                            qz = sx * e1y - sy * e1x
-                            v = f * (dx * qx + dy * qy + dz * qz)
-                            tt = f * (e2x * qx + e2y * qy + e2z * qz)
-                            ok = ((jnp.abs(a) >= EPS) & (u >= 0.0)
-                                  & (v >= 0.0) & (u + v <= 1.0)
-                                  & (tt > 0.0) & (tt < best_t))
-                            best_t = jnp.where(ok, tt, best_t)
-                            f_mat = jnp.where(ok, tris_ref[slot, 9], f_mat)
-                            f_nx = jnp.where(ok, tris_ref[slot, 10], f_nx)
-                            f_ny = jnp.where(ok, tris_ref[slot, 11], f_ny)
-                            f_nz = jnp.where(ok, tris_ref[slot, 12], f_nz)
-                        return best_t, f_mat, f_nx, f_ny, f_nz
-
-                    return jax.lax.fori_loop(
-                        0, ctris // BLOCK, blk,
-                        (best_t, f_mat, f_nx, f_ny, f_nz))
-
-                best_t, f_mat, f_nx, f_ny, f_nz = jax.lax.fori_loop(
-                    0, n_runs, run_body,
-                    (best_t, f_mat, f_nx, f_ny, f_nz))
+                if DEBUG_COUNT_RUNS:
+                    nruns_total = nruns_total + n_runs.astype(jnp.float32)
+                if not DEBUG_SKIP_RUNS:
+                    jax.lax.fori_loop(0, n_runs * bpc, run_blocks, 0)
+                best_t = best_ref[0]
+                f_mat = best_ref[1]
+                f_nx = best_ref[2]
+                f_ny = best_ref[3]
+                f_nz = best_ref[4]
 
             # ---- shading (trace_kernel one_bounce math) -----------------
             col_r = zeros
@@ -431,6 +457,8 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             rad_b = rad_b + hitf * thr_b * col_b * emitf
 
             cont = hit & ~is_emit
+            if DEBUG_COUNT_RUNS:
+                rad_r = rad_r + nruns_total  # per-pixel: sum over bounces
 
             ndotd = nx * dx + ny * dy + nz * dz
             flip = jnp.where(ndotd < 0.0, 1.0, -1.0)
@@ -474,10 +502,6 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                 ndx = jnp.where(spec, cx * invs, ndx)
                 ndy = jnp.where(spec, cy * invs, ndy)
                 ndz = jnp.where(spec, cz * invs, ndz)
-                # specular rays break beam coherence; the walk still
-                # treats them via the +-u beams, so their clusters may be
-                # missed -> restrict beam mode to diffuse scenes at the
-                # launcher (checked there), keep the code path for tests.
 
             cos = nx * ndx + ny * ndy + nz * ndz
             w2c = 2.0 * cos
@@ -543,6 +567,7 @@ def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
             pltpu.SMEM((8, LANES), jnp.float32),
             pltpu.SMEM((MAX_RUNS,), jnp.int32),
             pltpu.SMEM((MAX_BEAM_SC + 2,), jnp.int32),
+            pltpu.VMEM((5, tile_rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

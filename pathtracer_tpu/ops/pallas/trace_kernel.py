@@ -489,17 +489,18 @@ def _packed_table(scene: Scene) -> jnp.ndarray:
         [color, full[:, 6:7], full[:, 7:10], flags[:, None]], axis=-1)
 
 
-def render_film_pallas(camera: Camera, scene: Scene, samples: int,
-                       depth: int = 5, *, seed: int = 1,
-                       tile_rows: int = DEFAULT_TILE_ROWS,
-                       spp_per_call: Optional[int] = None,
-                       interpret: bool = False,
-                       loop: Optional[str] = None,
-                       verbose: bool = False) -> Film:
-    """Render the sample-averaged linear film with the Pallas megakernel.
-
-    ``loop``: intersection formulation, "plucker" (default, fastest) or
-    "mt" (bit-comparable with the XLA path; see _kernel)."""
+def render_sum_pallas(camera: Camera, scene: Scene, sample0: int,
+                      samples: int, depth: int = 5, *, seed: int = 1,
+                      tile_rows: int = DEFAULT_TILE_ROWS,
+                      spp_per_call: Optional[int] = None,
+                      interpret: bool = False,
+                      loop: Optional[str] = None,
+                      verbose: bool = False) -> jnp.ndarray:
+    """Radiance SUM over samples [sample0, sample0+samples) as an
+    (H, W, 3) array.  Because each (pixel, sample) pair owns an
+    independent RNG stream, sample windows compose exactly: summing two
+    adjacent windows equals one combined render — the property the
+    block-boundary checkpointing in render.py relies on."""
     if loop is None:
         loop = DEFAULT_LOOP
     if scene.num_tris > MAX_PALLAS_TRIS:
@@ -538,7 +539,8 @@ def render_film_pallas(camera: Camera, scene: Scene, samples: int,
     s = 0
     while s < samples:
         spp = min(spp_per_call, samples - s)
-        iparams = jnp.array([s, seed_mix, width_log2, height], jnp.int32)
+        iparams = jnp.array([sample0 + s, seed_mix, width_log2, height],
+                            jnp.int32)
         film = film + _launch(
             iparams, cam_params, tri_params, table,
             tile_rows=tile_rows, n_tris=scene.num_tris, depth=depth,
@@ -546,8 +548,26 @@ def render_film_pallas(camera: Camera, scene: Scene, samples: int,
             width=width, height=height, interpret=interpret, loop=loop)
         s += spp
         if verbose:
-            print(f"\rRendered: {s}/{samples} spp.", end="", flush=True)
+            print(f"\rRendered: {sample0 + s} spp.", end="", flush=True)
     if verbose:
         print()
+    return film
+
+
+def render_film_pallas(camera: Camera, scene: Scene, samples: int,
+                       depth: int = 5, *, seed: int = 1,
+                       tile_rows: int = DEFAULT_TILE_ROWS,
+                       spp_per_call: Optional[int] = None,
+                       interpret: bool = False,
+                       loop: Optional[str] = None,
+                       verbose: bool = False) -> Film:
+    """Render the sample-averaged linear film with the Pallas megakernel.
+
+    ``loop``: intersection formulation, "plucker" (default, fastest) or
+    "mt" (bit-comparable with the XLA path; see _kernel)."""
+    film = render_sum_pallas(
+        camera, scene, 0, samples, depth, seed=seed, tile_rows=tile_rows,
+        spp_per_call=spp_per_call, interpret=interpret, loop=loop,
+        verbose=verbose)
     film = film / np.float32(samples)
-    return Film((width, height), data=film.block_until_ready())
+    return Film(camera.res, data=film.block_until_ready())

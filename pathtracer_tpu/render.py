@@ -205,11 +205,18 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
     if backend == "pallas" and checkpoint is None:
         from .ops.pallas import trace_kernel
         return trace_kernel.render_film_pallas(
-            camera, scene, samples, depth, seed=seed, verbose=verbose)
+            camera, scene, samples, depth, seed=seed,
+            interpret=not _on_tpu(), verbose=verbose)
     if backend == "pallas":
-        backend = _auto_backend(camera, scene)
-        if backend == "pallas":
-            backend = "brute"  # checkpointing drives the XLA tile loop
+        # Block-boundary checkpointing: the megakernel renders sample
+        # windows whose SUMS compose exactly (independent per-(pixel,
+        # sample) RNG streams), so saving (film_sum, samples_done) between
+        # windows gives bit-identical resume — no fallback to the slow
+        # tile driver (a round-2 review finding).
+        return _render_pallas_checkpointed(
+            camera, scene, samples, depth, seed=seed, checkpoint=checkpoint,
+            checkpoint_every=checkpoint_every, verbose=verbose,
+            _abort_after=_abort_after)
     if backend == "mxu":
         raise ValueError(
             "the MXU-offloaded kernel was removed after losing its ablation "
@@ -320,6 +327,68 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
     if verbose:
         print()
     return Film((width, height), data=film.block_until_ready())
+
+
+def _render_pallas_checkpointed(camera: Camera, scene: Scene, samples: int,
+                                depth: int, *, seed: int, checkpoint: str,
+                                checkpoint_every: int = 1,
+                                verbose: bool = False,
+                                _abort_after: Optional[int] = None,
+                                block_spp: Optional[int] = None) -> Film:
+    """Resumable megakernel render: sample windows of ``block_spp``,
+    film-sum checkpoint between windows (see render_film's checkpoint
+    contract)."""
+    import os
+
+    from .ops.pallas import trace_kernel
+    from .utils import checkpoint as ckpt
+
+    width, height = camera.res
+    if block_spp is None:
+        block_spp = max(1, min(samples, (1 << 24) // (width * height)))
+    meta = {"width": width, "height": height, "samples": samples,
+            "depth": depth, "seed": seed, "backend": "pallas",
+            "block_spp": block_spp,
+            "scene_sum": float(scene.host_verts()[0].sum()
+                               + scene.host_materials()[1].sum())}
+
+    samples_done = 0
+    film = jnp.zeros((height, width, 3), jnp.float32)
+    cpath = checkpoint if checkpoint.endswith(".npz") else checkpoint + ".npz"
+    if os.path.exists(cpath):
+        film_sum, samples_done, saved = ckpt.load_render_checkpoint(cpath)
+        if saved != meta:
+            raise ValueError(
+                f"checkpoint {cpath} was written by a different render "
+                f"config:\n  saved: {saved}\n  this:  {meta}")
+        film = jnp.asarray(film_sum)
+        if verbose:
+            print(f"Resuming at sample {samples_done}/{samples}.")
+
+    interp = not _on_tpu()
+    blocks_done = 0
+    while samples_done < samples:
+        spp = min(block_spp, samples - samples_done)
+        film = film + trace_kernel.render_sum_pallas(
+            camera, scene, samples_done, spp, depth, seed=seed,
+            spp_per_call=spp, interpret=interp)
+        samples_done += spp
+        blocks_done += 1
+        if (blocks_done % checkpoint_every == 0
+                or samples_done >= samples):
+            ckpt.save_render_checkpoint(
+                checkpoint, np.asarray(film), samples_done, meta)
+        if verbose:
+            print(f"\rRendered: {samples_done}/{samples} spp.",
+                  end="", flush=True)
+        if _abort_after is not None and blocks_done >= _abort_after:
+            ckpt.save_render_checkpoint(
+                checkpoint, np.asarray(film), samples_done, meta)
+            raise KeyboardInterrupt(
+                f"aborted after {blocks_done} blocks (test hook)")
+    if verbose:
+        print()
+    return Film((width, height), data=(film / np.float32(samples)))
 
 
 def render_normals(camera: Camera, scene: Scene, *, seed: int = prng.SEED) -> Film:
