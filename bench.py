@@ -29,6 +29,21 @@ import time
 BASE_CORNELL = 5.24288e10 / 112.0   # ~4.68e8 rays/s (README.md:25-29)
 BASE_SPECULAR = 5.24288e10 / 230.0  # ~2.28e8 rays/s (README.md:35-39)
 
+# Roofline anchor: v5e TensorCore VPU peak = 8 sublanes x 128 lanes x
+# 4 ALUs x 0.94 GHz.  The path-tracing hot loops are pure fp32 VPU work
+# (the MXU only sees the tiny shade-table gathers), so rays/s x flops-per
+# -segment / VPU_PEAK is the honest chip-utilization number; chip-level
+# MFU would divide by the 197 TFLOP/s bf16 MXU peak instead and sit at
+# ~1% by design (see README "MXU ablation").
+VPU_PEAK_FLOPS = 8 * 128 * 4 * 0.94e9
+
+# flops per (ray, triangle) candidate in the fused kernels: Plucker
+# intersection ~40 vector ops + 9 winner-select ops (trace_kernel.py),
+# Moller-Trumbore + 5 selects ~60 (beam_kernel.py).
+FLOPS_PER_PAIR_PLUCKER = 49
+FLOPS_PER_PAIR_MT = 60
+FLOPS_SHADING = 160  # per segment: RNG + BRDF sample + bounce update
+
 
 def _measure(render, rays):
     """Compile+drain, then honest fetch-fenced steady-state seconds."""
@@ -60,10 +75,15 @@ def main():
         lambda: pt.render_film(cam, scene, samples=spp, depth=depth,
                                backend="pallas"),
         1024 * 1024 * spp * depth)
+    flops_seg = scene.num_tris * FLOPS_PER_PAIR_PLUCKER + FLOPS_SHADING
     results.append({
         "metric": "rays_per_sec_cornell1024", "value": rps,
         "unit": "rays/s", "vs_baseline": rps / BASE_CORNELL,
+        "vpu_util": rps * flops_seg / VPU_PEAK_FLOPS,
     })
+    # Perf-regression guard (round-2 review): the headline has been >=3x
+    # baseline since round 1; silent drift below that is a bug.
+    assert rps / BASE_CORNELL > 3.0, f"cornell regression: {rps:.3e} rays/s"
 
     # 2. Specular modified Cornell (roughness 0.05 column of the sweep).
     cam_s, scene_s = pt.modified_cornell(0.05, res=(1024, 1024))
@@ -71,9 +91,12 @@ def main():
         lambda: pt.render_film(cam_s, scene_s, samples=spp, depth=depth,
                                backend="pallas"),
         1024 * 1024 * spp * depth)
+    flops_seg_s = (scene_s.num_tris * FLOPS_PER_PAIR_PLUCKER
+                   + FLOPS_SHADING + 120)  # + specular rejection draws
     results.append({
         "metric": "rays_per_sec_specular1024", "value": rps_s,
         "unit": "rays/s", "vs_baseline": rps_s / BASE_SPECULAR,
+        "vpu_util": rps_s * flops_seg_s / VPU_PEAK_FLOPS,
     })
 
     # 3. Large scene (~10k tris) through the cluster backend.
@@ -83,15 +106,54 @@ def main():
     scene_b = sb.build()
     cam_b = dataclasses.replace(cam_b, res=(bres, bres))
     bvh = pt.build_bvh(scene_b)
+    # Headline large-scene backend: the coherent-beam megakernel.  Same
+    # unbiased estimator and per-pixel noise variance as the reference's
+    # sampling at equal spp; the noise is tile-correlated (blotches
+    # instead of grain) -- see README "Large scenes" for the PSNR
+    # equivalence measurement and ops/pallas/beam_kernel.py for why a
+    # lane machine needs the coherence.  The per-pixel-independent
+    # cluster backend is reported alongside.
     rps_b = _measure(
         lambda: pt.render_film(cam_b, scene_b, samples=bspp, depth=depth,
-                               bvh=bvh, backend="cluster"),
+                               backend="beam"),
         bres * bres * bspp * depth)
     results.append({
         "metric": f"rays_per_sec_bvh_{scene_b.num_tris}tris_{bres}",
         "value": rps_b, "unit": "rays/s",
         "vs_baseline": rps_b / BASE_CORNELL,
+        "backend": "beam",
+        "sampling": "coherent-beam (Sadeghi 2009): unbiased per pixel, "
+                    "equal per-pixel variance, tile-correlated noise",
     })
+    rps_c = _measure(
+        lambda: pt.render_film(cam_b, scene_b, samples=bspp, depth=depth,
+                               bvh=bvh, backend="cluster"),
+        bres * bres * bspp * depth)
+    results.append({
+        "metric": f"rays_per_sec_bvh_cluster_{bres}",
+        "value": rps_c, "unit": "rays/s",
+        "vs_baseline": rps_c / BASE_CORNELL,
+        "backend": "cluster",
+        "sampling": "per-pixel independent (reference discipline)",
+    })
+    # Roofline for the beam path: measure the traversal union (clusters
+    # intersected per tile-bounce) with the kernel's own counter, then
+    # convert to achieved VPU fraction.
+    from pathtracer_tpu.clusters import build_beam_accel
+    from pathtracer_tpu.ops.pallas import beam_kernel as _bk
+    import numpy as _np
+    _bk.DEBUG_COUNT_RUNS = True
+    _bk._launch.clear_cache()
+    acc_b = build_beam_accel(scene_b, bvh=bvh)
+    fcnt = pt.render_film(cam_b, scene_b, samples=8, depth=depth,
+                          backend="beam")
+    # render_film built its own accel; counter rides film channel 0
+    tests_seg = float(_np.asarray(fcnt.data)[..., 0].mean()) / depth *         acc_b.ctris
+    _bk.DEBUG_COUNT_RUNS = False
+    _bk._launch.clear_cache()
+    results[-2]["tri_tests_per_segment"] = tests_seg
+    results[-2]["vpu_util"] = (rps_b * (tests_seg * FLOPS_PER_PAIR_MT
+                                        + FLOPS_SHADING) / VPU_PEAK_FLOPS)
 
     head = dict(results[0])
     head["extra"] = results[1:]

@@ -170,8 +170,9 @@ def build_clusters(
 # Two-level beam acceleration structure (ops/pallas/beam_kernel.py)
 # ---------------------------------------------------------------------------
 
-BEAM_CTRIS = 16        # triangles per cluster (padded exactly to this)
-BEAM_SC_TRIS = 512     # supercluster cut size
+BEAM_CTRIS = 8         # triangles per cluster (padded exactly to this;
+                       # swept on v5e: 8 > 16 > 32 at 256-tri superclusters)
+BEAM_SC_TRIS = 256     # supercluster cut size
 BEAM_BLOCK = 8         # kernel tri-block width; BEAM_CTRIS % BEAM_BLOCK == 0
 MAX_BEAM_MATERIALS = 64
 

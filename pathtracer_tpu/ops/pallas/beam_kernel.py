@@ -72,9 +72,15 @@ from ...clusters import BeamAccel, build_beam_accel
 LANES = 128
 BLOCK = 8                     # triangles per unrolled block
 DEFAULT_TILE_ROWS = 32        # rays per tile = tile_rows * 128
-PHASE_BUDGETS = (12, 1 << 30)  # clusters intersected per walk phase
-MAX_RUNS = 1000               # SMEM run-list capacity (clusters per phase)
-MAX_BEAM_CLUSTERS = 1000      # bit-plane capacity (8x128 minus header)
+# Walk phases: measured on the 9.8k-tri benchmark, the phased t-cull
+# re-sweep recovers less than it costs (ideal-t-cull union is only 28%
+# below the no-cull union there, and a second sweep+DMA+walk eats that),
+# so the production default is a single full phase.  The phased two-ended
+# machinery stays for scenes with heavier occlusion: set e.g. (16, 1<<30).
+PHASE_BUDGETS = (1 << 30,)
+BITROWS = 16                  # bit-plane sublanes: capacity BITROWS*128
+MAX_RUNS = 2000               # SMEM run-list capacity (clusters per phase)
+MAX_BEAM_CLUSTERS = 2000      # bit-plane capacity minus header slots
 MAX_BEAM_SC = 126
 
 # diagnostic knobs (scratch/beam_sweep2.py): statically disable stages
@@ -85,10 +91,10 @@ DEBUG_COUNT_RUNS = False    # film channel 0 accumulates emitted run counts
 _GOLDEN = np.uint32(0x9E3779B9)
 _INV_U24 = np.float32(1.0 / 16777216.0)
 
-# header slots inside the (8,128) bit-plane handed to the scalar core
-# (bit of box id b lives at row b % 8, lane b // 8; ids stay < 1000)
-_HDR_OCT = 1023    # dominant direction octant (as float 0..7)
-_HDR_ALIVE = 1015  # alive-ray count
+# header slots inside the (16,128) bit-plane handed to the scalar core
+# (bit of box id b lives at row b % 16, lane b // 16; ids stay < 2000)
+_HDR_OCT = 2047    # dominant direction octant (as float 0..7)
+_HDR_ALIVE = 2031  # alive-ray count
 
 
 def _hash(s):
@@ -169,11 +175,11 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
     cell, hvx, hvy = cam_ref[12], cam_ref[13], cam_ref[14]
     pix_off = cam_ref[15]
 
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    row16 = jax.lax.broadcasted_iota(jnp.int32, (BITROWS, LANES), 0)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (BITROWS, LANES), 1)
 
     def to_smem(acc):
-        """Hand an (8,128) bit-plane to the scalar core (the ONE
+        """Hand a (16,128) bit-plane to the scalar core (the ONE
         vector->scalar crossing per use; ~1 us, so used per phase, never
         per cluster)."""
         xfer_vmem[:, :] = acc
@@ -247,14 +253,19 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
 
             def sweep_group(bref, g, best_t, acc):
                 """Test boxes [8g, 8g+8) and set their bits in ``acc``
-                (bit of box b lives at (b % 8, b // 8))."""
+                (bit of box b lives at (b % 16, b // 16): group g fills
+                rows [8*(g&1), 8*(g&1)+8) of lane g >> 1)."""
                 rows = [slab_rowmask(bref, g * 8 + j, best_t)
                         for j in range(8)]
                 buf = jnp.concatenate(rows, axis=0)          # (8, 128)
                 counts = jax.lax.dot_general(
                     buf, ones_col, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)       # (8, 1)
-                return jnp.where(lane8 == g, counts, acc)
+                counts16 = jnp.concatenate([counts, counts], axis=0)
+                half = (g & 1) * 8
+                sel = ((lane16 == (g >> 1)) & (row16 >= half)
+                       & (row16 < half + 8))
+                return jnp.where(sel, counts16, acc)
 
             # dominant direction octant for front-to-back ordering
             if bounce == 0:
@@ -275,23 +286,25 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             f_nz = zeros
 
             # --- supercluster sweep -> bits + header -> scalar core ------
-            acc = jnp.zeros((8, LANES), jnp.float32)
+            acc = jnp.zeros((BITROWS, LANES), jnp.float32)
             if not DEBUG_SKIP_SWEEPS:
                 for g in range((n_sc + 7) // 8):   # static: S is small
                     acc = sweep_group(scb_ref, jnp.int32(g), best_t, acc)
-            hdr = (row8 == (_HDR_OCT & 7)) & (lane8 == (_HDR_OCT >> 3))
+            hdr = ((row16 == (_HDR_OCT % 16))
+                   & (lane16 == (_HDR_OCT // 16)))
             acc = jnp.where(hdr, octant, acc)
-            hdr = (row8 == (_HDR_ALIVE & 7)) & (lane8 == (_HDR_ALIVE >> 3))
+            hdr = ((row16 == (_HDR_ALIVE % 16))
+                   & (lane16 == (_HDR_ALIVE // 16)))
             acc = jnp.where(hdr, n_alive, acc)
             to_smem(acc)
 
             # --- scalar: ordered queue of passing superclusters ----------
-            oct_i = xfer_smem[_HDR_OCT & 7, _HDR_OCT >> 3].astype(jnp.int32)
-            any_alive = xfer_smem[_HDR_ALIVE & 7, _HDR_ALIVE >> 3] > 0.5
+            oct_i = xfer_smem[_HDR_OCT % 16, _HDR_OCT // 16].astype(jnp.int32)
+            any_alive = xfer_smem[_HDR_ALIVE % 16, _HDR_ALIVE // 16] > 0.5
 
             def sq_body(rank, nq):
                 sc = sco_ref[oct_i, rank]
-                bit = xfer_smem[sc & 7, sc >> 3] > 0.5
+                bit = xfer_smem[sc & 15, sc >> 4] > 0.5
 
                 @pl.when(bit)
                 def _():
@@ -320,22 +333,23 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                     return jax.lax.fori_loop(g0, g1, grp, acc)
 
                 if DEBUG_SKIP_SWEEPS:
-                    return jnp.zeros((8, LANES), jnp.float32)
-                return jax.lax.fori_loop(0, nq, sqb,
-                                         jnp.zeros((8, LANES), jnp.float32))
+                    return jnp.zeros((BITROWS, LANES), jnp.float32)
+                return jax.lax.fori_loop(
+                    0, nq, sqb, jnp.zeros((BITROWS, LANES), jnp.float32))
 
-            def walk(q0, c0, budget, nq):
-                """Scalar: emit bit-set cluster ids (squeue order) into
-                runs_ref; returns (n_runs, qi, ci) cursor for resume."""
+            def walk(q0, c0, budget, q_end):
+                """Scalar: emit bit-set cluster ids (squeue positions
+                [q0, q_end), forward) into runs_ref; returns
+                (n_runs, qi, ci) cursor for resume."""
                 def cond(st):
                     qi, ci, n, em = st
-                    return (qi < nq) & (em < budget) & (n < MAX_RUNS)
+                    return (qi < q_end) & (em < budget) & (n < MAX_RUNS)
 
                 def body(st):
                     qi, ci, n, em = st
                     sc = squeue_ref[qi]
                     c = scf_ref[sc] + ci
-                    bit = xfer_smem[c & 7, c >> 3] > 0.5
+                    bit = xfer_smem[c & 15, c >> 4] > 0.5
 
                     @pl.when(bit)
                     def _():
@@ -350,6 +364,40 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                 qi, ci, n, _ = jax.lax.while_loop(
                     cond, body, (q0, c0, jnp.int32(0), jnp.int32(0)))
                 return n, qi, ci
+
+            def walk_back(q0, budget, q_low):
+                """Scalar: emit bit-set clusters of WHOLE superclusters
+                from squeue position q0 DOWN to (exclusive) q_low — the
+                squeue is front-to-back for the +u beam, so walking from
+                the far end is front-to-back for the -u beam.  Returns
+                (n_runs, qj) with qj = last unprocessed position."""
+                def cond(st):
+                    qj, n, em = st
+                    return (qj > q_low) & (em < budget) & (n < MAX_RUNS)
+
+                def body(st):
+                    qj, n, em = st
+                    sc = squeue_ref[qj]
+                    first = scf_ref[sc]
+
+                    def cl(i, st2):
+                        n, em = st2
+                        c = first + i
+                        bit = xfer_smem[c & 15, c >> 4] > 0.5
+
+                        @pl.when(bit)
+                        def _():
+                            runs_ref[n] = c
+
+                        keep = bit.astype(jnp.int32)
+                        return (n + keep, em + keep)
+
+                    n, em = jax.lax.fori_loop(0, scn_ref[sc], cl, (n, em))
+                    return (qj - 1, n, em)
+
+                qj, n, _ = jax.lax.while_loop(
+                    cond, body, (q0, jnp.int32(0), jnp.int32(0)))
+                return n, qj
 
             # The run engine accumulates hit state in VMEM scratch refs
             # instead of fori carries: 5 quantities x 4 vregs of carry
@@ -411,16 +459,33 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                 best_ref[4] = f_nz
                 return 0
 
-            qi = jnp.int32(0)
-            ci = jnp.int32(0)
-            nruns_total = jnp.zeros((1, 1), jnp.float32)
-            for phase, budget in enumerate(PHASE_BUDGETS):
-                to_smem(cl_sweep(nq, best_t))
-                n_runs, qi, ci = walk(qi, ci, jnp.int32(budget), nq)
-                if DEBUG_COUNT_RUNS:
-                    nruns_total = nruns_total + n_runs.astype(jnp.float32)
+            def exec_runs(n_runs):
                 if not DEBUG_SKIP_RUNS:
                     jax.lax.fori_loop(0, n_runs * bpc, run_blocks, 0)
+
+            # Phase 1 walks BOTH ends of the front-to-back queue: the
+            # forward end is nearest for the +u half of the tile's rays,
+            # the far end is nearest for the -u half (bounce 0 has one
+            # beam, forward only).  Establishing early hits on both halves
+            # is what makes the phase-2 re-sweep's per-ray t-cull bite.
+            qi = jnp.int32(0)
+            ci = jnp.int32(0)
+            qj = nq - 1
+            nruns_total = jnp.zeros((1, 1), jnp.float32)
+            for phase, budget in enumerate(PHASE_BUDGETS):
+                last = phase == len(PHASE_BUDGETS) - 1
+                to_smem(cl_sweep(nq, best_t))
+                n_runs, qi, ci = walk(qi, ci, jnp.int32(budget),
+                                      qj + 1 if last else nq)
+                if DEBUG_COUNT_RUNS:
+                    nruns_total = nruns_total + n_runs.astype(jnp.float32)
+                exec_runs(n_runs)
+                if bounce > 0 and not last:
+                    n_back, qj = walk_back(qj, jnp.int32(budget), qi - 1)
+                    if DEBUG_COUNT_RUNS:
+                        nruns_total = (nruns_total
+                                       + n_back.astype(jnp.float32))
+                    exec_runs(n_back)
                 best_t = best_ref[0]
                 f_mat = best_ref[1]
                 f_nx = best_ref[2]
@@ -563,8 +628,8 @@ def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n_rows, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, LANES), jnp.float32),
-            pltpu.SMEM((8, LANES), jnp.float32),
+            pltpu.VMEM((BITROWS, LANES), jnp.float32),
+            pltpu.SMEM((BITROWS, LANES), jnp.float32),
             pltpu.SMEM((MAX_RUNS,), jnp.int32),
             pltpu.SMEM((MAX_BEAM_SC + 2,), jnp.int32),
             pltpu.VMEM((5, tile_rows, LANES), jnp.float32),
@@ -572,6 +637,21 @@ def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
         ],
         interpret=interpret,
     )(iparams, cam_params, scb, scf, scn, sco, clb, mats, tris)
+
+
+_ACCEL_CACHE = []  # [(scene, accel)]; scene kept alive so ids stay unique
+
+
+def _accel_for(scene: Scene) -> BeamAccel:
+    """Small per-scene accel cache: the host-side build (SAH cut + row
+    packing) costs ~1 s at 10k tris and must not be paid per render call."""
+    for s, a in _ACCEL_CACHE:
+        if s is scene:
+            return a
+    a = build_beam_accel(scene)
+    _ACCEL_CACHE.append((scene, a))
+    del _ACCEL_CACHE[:-4]
+    return a
 
 
 def _morton_to_raster(width: int, height: int) -> np.ndarray:
@@ -625,7 +705,7 @@ def render_film_beam(camera: Camera, scene: Scene, samples: int,
     tpx_log2 = (tile_rows * LANES).bit_length() - 1
 
     if accel is None:
-        accel = build_beam_accel(scene)
+        accel = _accel_for(scene)
     if accel.num_clusters > MAX_BEAM_CLUSTERS:
         raise ValueError(
             f"scene has {accel.num_clusters} clusters "
