@@ -44,3 +44,42 @@ def test_cornell_matches_golden_statistics():
     oy, ox = np.unravel_index(np.argmax(ours_g.sum(-1)), (res, res))
     ry, rx = np.unravel_index(np.argmax(ref_small.sum(-1)), (res, res))
     assert abs(int(oy) - int(ry)) <= 2 and abs(int(ox) - int(rx)) <= 2
+
+
+TRUTH = os.path.join(os.path.dirname(__file__), "goldens",
+                     "cornell64_truth.npz")
+SNAP = os.path.join(os.path.dirname(__file__), "goldens",
+                    "cornell64_cpu256_seed11.npz")
+
+
+def _gamma(x):
+    return np.clip(x, 0, 1) ** (1 / 2.2)
+
+
+def test_cornell_matches_converged_self_golden():
+    """Round-2 review item: a committed CONVERGED truth (65,536 spp,
+    seed-averaged on TPU; 32k-vs-32k self-consistency 45.1 dB) plus a
+    pinned-seed CPU snapshot, so CI catches regressions the noisy
+    reference-golden anchor cannot:
+
+      * PSNR vs the pinned 256-spp snapshot (same seed/backend) must stay
+        near-exact — ANY change to sampling, intersection, or shading
+        beyond float reassociation fails here;
+      * PSNR and linear mean vs the converged truth bound total error —
+        thresholds are calibrated 2 dB / 2x below the measured 256-spp
+        Monte-Carlo floor (26.0 dB / 2.9 %)."""
+    res = 64
+    truth = np.load(TRUTH)["linear"]
+    snap = np.load(SNAP)["linear"]
+    cam, scene = pt.cornell_box(res=(res, res))
+    film = pt.render_film(cam, scene, samples=256, depth=5, seed=11,
+                          backend="brute")
+    a = np.asarray(film.data)
+
+    p_snap = pt.psnr(_gamma(a), _gamma(snap))
+    assert p_snap > 50.0, f"pinned-seed drift: {p_snap:.2f} dB"
+
+    p_truth = pt.psnr(_gamma(a), _gamma(truth))
+    assert p_truth > 24.0, f"PSNR vs converged truth: {p_truth:.2f} dB"
+    rel = abs(a.mean() - truth.mean()) / truth.mean()
+    assert rel < 0.06, f"linear mean off truth by {rel:.3f}"
