@@ -155,6 +155,29 @@ def main():
     results[-2]["vpu_util"] = (rps_b * (tests_seg * FLOPS_PER_PAIR_MT
                                         + FLOPS_SHADING) / VPU_PEAK_FLOPS)
 
+    # 4. Wavefront pipeline vs megakernel (round-2 review item 2): the
+    # re-architecture claim is settled by measurement — see
+    # ops/wavefront.py "MEASURED VERDICT" for the analysis.
+    cam_w, scene_w = pt.cornell_box(res=(512, 512))
+    for wdepth in (5, 16):
+        rays_w = 512 * 512 * 64 * wdepth
+        rps_w = _measure(
+            lambda d=wdepth: pt.render_film(cam_w, scene_w, samples=64,
+                                            depth=d, backend="wavefront"),
+            rays_w)
+        rps_m = _measure(
+            lambda d=wdepth: pt.render_film(cam_w, scene_w, samples=64,
+                                            depth=d, backend="pallas"),
+            rays_w)
+        results.append({
+            "metric": f"rays_per_sec_wavefront_512_d{wdepth}",
+            "value": rps_w, "unit": "rays/s",
+            "vs_baseline": rps_w / BASE_CORNELL,
+            "megakernel_same_config": rps_m,
+            "note": "wavefront never wins on TPU; auto never selects it "
+                    "(ops/wavefront.py MEASURED VERDICT)",
+        })
+
     head = dict(results[0])
     head["extra"] = results[1:]
     print(json.dumps(head))

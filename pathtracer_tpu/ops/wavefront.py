@@ -29,14 +29,29 @@ pipeline here maps each wavefront concept to what the hardware does well:
 Control flow is fully jit-resident: ONE ``lax.scan`` over sample blocks
 wraps a ``lax.scan`` over bounces, and each bounce body sits behind a
 ``lax.cond`` on "any ray alive" — once a block's queue is empty the
-remaining bounces cost one predicate each instead of an intersect pass
-(the early-exit the megakernel cannot express; it pays off at depth >= 8
-where most paths die in the first few bounces).  An explicit
-argsort-partition ``compact`` is kept for the tests and as the reference
-point the parking design replaced.
+remaining bounces cost one predicate each instead of an intersect pass.
+An explicit argsort-partition ``compact`` is kept for the tests and as
+the reference point the parking design replaced.
 
 The whole render is a single device dispatch: the host loop of
 render.py's tile driver disappears.
+
+MEASURED VERDICT (round 3, Cornell 512^2 x 64 spp on one v5e): this
+pipeline sustains 1.0e7 rays/s at depth 5 and 2.6e7 at depth 16 — 10-30x
+BEHIND the fused Pallas megakernel (3.1e8 / 6.0e8 on the same configs)
+and ~5-9x behind even the XLA tile driver.  The round-2 hypothesis that
+wavefront early-exit pays at depth >= 8 is refuted on this hardware: the
+megakernel's dead lanes are masked vector ops that cost almost nothing
+(its NOMINAL rays/s nearly doubles at depth 16 for that reason), while
+the wavefront's per-bounce XLA boundaries (film ``segment_sum`` scatter,
+queue rebuilds, dispatch) cost far more than the compute they skip.  The
+CUDA wavefront architecture does not transfer to a TPU: staged queues
+exist to keep WARPS convergent, and the TPU has no divergence to fix at
+this granularity — coherence has to come from the SAMPLER instead (see
+ops/pallas/beam_kernel.py).  The module stays as capability parity with
+the reference's chunked-dispatch mode (render.h:219-259 analog), as the
+measurement record, and as the race-free scatter pattern (SURVEY §5);
+``_auto_backend`` never selects it.
 """
 
 from __future__ import annotations
