@@ -315,7 +315,7 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             nq = jax.lax.fori_loop(0, n_sc, sq_body, jnp.int32(0))
             nq = jnp.where(any_alive, nq, 0)
 
-            def cl_sweep(nq, best_t):
+            def cl_sweep(q0, q_end, best_t):
                 def sqb(i, acc):
                     sc = squeue_ref[i]
                     first = scf_ref[sc]
@@ -335,7 +335,8 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                 if DEBUG_SKIP_SWEEPS:
                     return jnp.zeros((BITROWS, LANES), jnp.float32)
                 return jax.lax.fori_loop(
-                    0, nq, sqb, jnp.zeros((BITROWS, LANES), jnp.float32))
+                    q0, q_end, sqb,
+                    jnp.zeros((BITROWS, LANES), jnp.float32))
 
             def walk(q0, c0, budget, q_end):
                 """Scalar: emit bit-set cluster ids (squeue positions
@@ -474,7 +475,10 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             nruns_total = jnp.zeros((1, 1), jnp.float32)
             for phase, budget in enumerate(PHASE_BUDGETS):
                 last = phase == len(PHASE_BUDGETS) - 1
-                to_smem(cl_sweep(nq, best_t))
+                # later phases only re-sweep the clusters the walk has
+                # not consumed yet (the updated best_t culls there)
+                to_smem(cl_sweep(qi if phase else jnp.int32(0),
+                                 (qj + 1) if phase else nq, best_t))
                 n_runs, qi, ci = walk(qi, ci, jnp.int32(budget),
                                       qj + 1 if last else nq)
                 if DEBUG_COUNT_RUNS:

@@ -123,3 +123,24 @@ def test_render_film_backend_beam():
     with pytest.raises(ValueError, match="checkpoint"):
         pt.render_film(cam, scene, samples=2, depth=1, backend="beam",
                        checkpoint="/tmp/nope.npz")
+
+
+def test_phased_walk_bit_exact(monkeypatch):
+    """The phased two-ended walk + cursor-limited re-sweep is off by
+    default (measured slower on the bench scene) but must stay correct:
+    budgeted phases re-cull with the updated best_t and may never drop a
+    cluster a ray still needs."""
+    monkeypatch.setattr(beam_kernel, "PHASE_BUDGETS", (4, 1 << 30))
+    beam_kernel._launch.clear_cache()
+    try:
+        cam, scene = _sphere_cam(32)
+        fb = beam_kernel.render_film_beam(cam, scene, samples=1, depth=2,
+                                          seed=2, interpret=True)
+        monkeypatch.setattr(beam_kernel, "PHASE_BUDGETS", (1 << 30,))
+        beam_kernel._launch.clear_cache()
+        fr = beam_kernel.render_film_beam(cam, scene, samples=1, depth=2,
+                                          seed=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(fb.data),
+                                   np.asarray(fr.data), atol=1e-6)
+    finally:
+        beam_kernel._launch.clear_cache()
