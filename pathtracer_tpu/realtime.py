@@ -31,6 +31,31 @@ from .render import render_film
 from .scene import Scene
 
 
+def _pick_backend(camera: Camera, scene: Scene, backend: str) -> str:
+    """Resolve 'auto' for interactive use: big scenes on TPU go through
+    the coherent-beam megakernel when the film shape allows it — the
+    progressive accumulation averages away the beam mode's tile-correlated
+    noise across frames, and at ~8e7 rays/s a 256^2 frame batch is tens of
+    milliseconds instead of seconds (the round-2 review's 'realtime on an
+    OBJ scene would be seconds per frame' gap)."""
+    if backend != "auto":
+        return backend
+    from .render import BRUTE_MAX, _on_tpu
+
+    w, h = camera.res
+    if (scene.padded_size > BRUTE_MAX and _on_tpu()
+            and w & (w - 1) == 0 and h % w == 0):
+        try:
+            from .ops.pallas import beam_kernel
+            accel = beam_kernel._accel_for(scene)
+            if (accel.num_clusters <= beam_kernel.MAX_BEAM_CLUSTERS
+                    and accel.num_superclusters <= beam_kernel.MAX_BEAM_SC):
+                return "beam"
+        except ValueError:
+            pass
+    return backend
+
+
 class RealtimeSession:
     """Progressive renderer with interactive camera (render.h:219-387).
 
@@ -54,7 +79,7 @@ class RealtimeSession:
         self.seed = seed
         self.screenshot_dir = screenshot_dir
         self.accumulate = accumulate
-        self.backend = backend
+        self.backend = _pick_backend(camera, scene, backend)
         self.frame = 0
         w, h = camera.res
         self._accum = np.zeros((h, w, 3), np.float32)

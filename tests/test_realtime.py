@@ -76,3 +76,28 @@ def test_non_accumulate_mode():
     f1 = s.step()
     f2 = s.step()
     np.testing.assert_allclose(f1, f2)  # same seed, fresh film each frame
+
+
+def test_realtime_auto_picks_beam_for_big_scenes(monkeypatch):
+    """Interactive sessions route OBJ-scale scenes through the beam
+    megakernel on TPU (round-2 review: 'realtime on an OBJ scene would be
+    seconds per frame')."""
+    import importlib
+
+    rt = importlib.import_module("pathtracer_tpu.realtime")
+    render_mod = importlib.import_module("pathtracer_tpu.render")
+    from pathtracer_tpu import meshes
+    import dataclasses
+
+    cam, sb = meshes.sphere_in_box(16, 32)  # 1036 tris > BRUTE_MAX
+    scene = sb.build()
+    cam = dataclasses.replace(cam, res=(32, 32))
+    monkeypatch.setattr(render_mod, "_on_tpu", lambda: True)
+    assert rt._pick_backend(cam, scene, "auto") == "beam"
+    # explicit backends pass through; small scenes stay auto
+    assert rt._pick_backend(cam, scene, "cluster") == "cluster"
+    cam2, small = pt.cornell_box(res=(32, 32))
+    assert rt._pick_backend(cam2, small, "auto") == "auto"
+    # incompatible film shape falls back
+    cam3 = dataclasses.replace(cam, res=(48, 48))
+    assert rt._pick_backend(cam3, scene, "auto") == "auto"
