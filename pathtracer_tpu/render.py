@@ -11,11 +11,13 @@ natural progress reporting; each pass is internally a ``lax.scan`` over
 sample blocks so dispatch overhead amortizes away.
 
 Backend selection ('auto'):
-  * scenes with <= BRUTE_MAX padded triangles  -> dense brute-force
-    intersection (see ops/intersect.py) — all headline scenes;
-  * larger scenes -> flat-BVH traversal (the reference's hot path shape).
-  * 'pallas' -> fused Pallas TPU megakernel (ops/pallas), brute-force
-    intersection fully in VMEM; fastest path on real TPU hardware.
+  * small scenes (<= BRUTE_MAX padded triangles) on TPU -> the fused
+    Pallas megakernel ('pallas'); on CPU the dense XLA path ('brute');
+  * larger scenes on TPU -> the coherent-beam megakernel ('beam',
+    ops/pallas/beam_kernel.py) when the film shape and scene fit it,
+    else the Pallas cluster traversal ('cluster'); on CPU the XLA
+    packet-BVH ('bvh').
+  See _auto_backend for the exact rules.
 
 RNG discipline: one independent hash stream per (pixel, sample) pair
 (rng.sample_seed), consumed jitter-first-then-bounces exactly like the GPU
@@ -143,14 +145,33 @@ def _on_tpu() -> bool:
         return False
 
 
-def _auto_backend(camera: Camera, scene: Scene) -> str:
+def _auto_backend(camera: Camera, scene: Scene,
+                  checkpoint=None) -> str:
     """Pick the fastest valid backend: the fused Pallas megakernel on real
-    TPU hardware (small scenes, power-of-two width), the Pallas cluster
-    traversal for big scenes on TPU, the dense XLA path on CPU or odd
-    sizes, the XLA packet-BVH for big scenes on CPU."""
+    TPU hardware (small scenes, power-of-two width); for big scenes on
+    TPU the coherent-beam megakernel when the film shape and scene fit it
+    (same unbiased estimator and per-pixel variance as independent
+    sampling — measured PSNR-equal at equal spp, see README "Large
+    scenes" — but tile-correlated noise and no checkpointing, so
+    resumable renders and odd shapes fall back to the Pallas cluster
+    traversal); the dense XLA path on CPU or odd sizes; the XLA
+    packet-BVH for big scenes on CPU."""
+    width, height = camera.res
     if scene.padded_size > BRUTE_MAX:
-        return "cluster" if _on_tpu() else "bvh"
-    width = camera.res[0]
+        if not _on_tpu():
+            return "bvh"
+        if checkpoint is None and width & (width - 1) == 0 \
+                and height % width == 0:
+            try:
+                from .ops.pallas import beam_kernel
+                accel = beam_kernel._accel_for(scene)
+                if (accel.num_clusters <= beam_kernel.MAX_BEAM_CLUSTERS
+                        and accel.num_superclusters
+                        <= beam_kernel.MAX_BEAM_SC):
+                    return "beam"
+            except ValueError:
+                pass
+        return "cluster"
     from .ops.pallas.trace_kernel import MAX_PALLAS_TRIS
     if (_on_tpu() and scene.num_tris <= MAX_PALLAS_TRIS
             and width & (width - 1) == 0):
@@ -201,7 +222,7 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
     if scene.num_tris == 0:
         raise ValueError("No triangles in scene.")
     if backend == "auto":
-        backend = _auto_backend(camera, scene)
+        backend = _auto_backend(camera, scene, checkpoint)
     if backend == "pallas" and checkpoint is None:
         from .ops.pallas import trace_kernel
         return trace_kernel.render_film_pallas(
