@@ -347,7 +347,10 @@ def build_beam_accel(
             f"use the cluster/bvh backends")
 
     # Packed triangle rows, cluster-padded to exactly ctris.
-    P = C * ctris
+    # one extra all-degenerate SENTINEL cluster (id C): the kernel's
+    # pair-unrolled run loop pads odd-length run lists with it; its rows
+    # are rejected by the |det| < EPS test.
+    P = (C + 1) * ctris
     tri_cols = np.zeros((P, 16), np.float32)
     tid_map = np.full(P, -1, np.int32)
     for ci, ids in enumerate(cl_tid_chunks):

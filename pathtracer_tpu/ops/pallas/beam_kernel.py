@@ -411,48 +411,56 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             best_ref[3] = f_ny
             best_ref[4] = f_nz
 
-            def run_blocks(bi, _):
-                c = runs_ref[bi // bpc]
-                base = c * ctris + (bi % bpc) * BLOCK
+            def run_blocks(pi, _):
+                # TWO 8-tri blocks per iteration: halves loop + ref
+                # round-trip overhead and interleaves independent
+                # dependency chains for VPU ILP.  Odd block counts are
+                # padded by the builder's degenerate sentinel cluster.
+                bases = []
+                for half in range(2):
+                    bi = pi * 2 + half
+                    c = runs_ref[bi // bpc]
+                    bases.append(c * ctris + (bi % bpc) * BLOCK)
                 best_t = best_ref[0]
                 f_mat = best_ref[1]
                 f_nx = best_ref[2]
                 f_ny = best_ref[3]
                 f_nz = best_ref[4]
-                for j in range(BLOCK):
-                    slot = base + j
-                    v1x = tris_ref[slot, 0]
-                    v1y = tris_ref[slot, 1]
-                    v1z = tris_ref[slot, 2]
-                    e1x = tris_ref[slot, 3]
-                    e1y = tris_ref[slot, 4]
-                    e1z = tris_ref[slot, 5]
-                    e2x = tris_ref[slot, 6]
-                    e2y = tris_ref[slot, 7]
-                    e2z = tris_ref[slot, 8]
-                    hx = dy * e2z - dz * e2y
-                    hy = dz * e2x - dx * e2z
-                    hz = dx * e2y - dy * e2x
-                    a = e1x * hx + e1y * hy + e1z * hz
-                    rr = pl.reciprocal(a, approx=True)
-                    f = rr * (2.0 - a * rr)
-                    sx = ox - v1x
-                    sy = oy - v1y
-                    sz = oz - v1z
-                    u = f * (sx * hx + sy * hy + sz * hz)
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    v = f * (dx * qx + dy * qy + dz * qz)
-                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
-                    ok = ((jnp.abs(a) >= EPS) & (u >= 0.0)
-                          & (v >= 0.0) & (u + v <= 1.0)
-                          & (tt > 0.0) & (tt < best_t))
-                    best_t = jnp.where(ok, tt, best_t)
-                    f_mat = jnp.where(ok, tris_ref[slot, 9], f_mat)
-                    f_nx = jnp.where(ok, tris_ref[slot, 10], f_nx)
-                    f_ny = jnp.where(ok, tris_ref[slot, 11], f_ny)
-                    f_nz = jnp.where(ok, tris_ref[slot, 12], f_nz)
+                for base in bases:
+                    for j in range(BLOCK):
+                        slot = base + j
+                        v1x = tris_ref[slot, 0]
+                        v1y = tris_ref[slot, 1]
+                        v1z = tris_ref[slot, 2]
+                        e1x = tris_ref[slot, 3]
+                        e1y = tris_ref[slot, 4]
+                        e1z = tris_ref[slot, 5]
+                        e2x = tris_ref[slot, 6]
+                        e2y = tris_ref[slot, 7]
+                        e2z = tris_ref[slot, 8]
+                        hx = dy * e2z - dz * e2y
+                        hy = dz * e2x - dx * e2z
+                        hz = dx * e2y - dy * e2x
+                        a = e1x * hx + e1y * hy + e1z * hz
+                        rr = pl.reciprocal(a, approx=True)
+                        f = rr * (2.0 - a * rr)
+                        sx = ox - v1x
+                        sy = oy - v1y
+                        sz = oz - v1z
+                        u = f * (sx * hx + sy * hy + sz * hz)
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        v = f * (dx * qx + dy * qy + dz * qz)
+                        tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                        ok = ((jnp.abs(a) >= EPS) & (u >= 0.0)
+                              & (v >= 0.0) & (u + v <= 1.0)
+                              & (tt > 0.0) & (tt < best_t))
+                        best_t = jnp.where(ok, tt, best_t)
+                        f_mat = jnp.where(ok, tris_ref[slot, 9], f_mat)
+                        f_nx = jnp.where(ok, tris_ref[slot, 10], f_nx)
+                        f_ny = jnp.where(ok, tris_ref[slot, 11], f_ny)
+                        f_nz = jnp.where(ok, tris_ref[slot, 12], f_nz)
                 best_ref[0] = best_t
                 best_ref[1] = f_mat
                 best_ref[2] = f_nx
@@ -462,7 +470,9 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
 
             def exec_runs(n_runs):
                 if not DEBUG_SKIP_RUNS:
-                    jax.lax.fori_loop(0, n_runs * bpc, run_blocks, 0)
+                    runs_ref[n_runs] = jnp.int32(n_cl)  # sentinel pad
+                    jax.lax.fori_loop(0, (n_runs * bpc + 1) // 2,
+                                      run_blocks, 0)
 
             # Phase 1 walks BOTH ends of the front-to-back queue: the
             # forward end is nearest for the +u half of the tile's rays,
@@ -634,7 +644,7 @@ def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
         scratch_shapes=[
             pltpu.VMEM((BITROWS, LANES), jnp.float32),
             pltpu.SMEM((BITROWS, LANES), jnp.float32),
-            pltpu.SMEM((MAX_RUNS,), jnp.int32),
+            pltpu.SMEM((MAX_RUNS + 2,), jnp.int32),
             pltpu.SMEM((MAX_BEAM_SC + 2,), jnp.int32),
             pltpu.VMEM((5, tile_rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
