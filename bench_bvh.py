@@ -27,7 +27,7 @@ def main():
 
     import numpy as np
 
-    backend = os.environ.get("BENCH_BVH_BACKEND", "cluster")
+    backend = os.environ.get("BENCH_BVH_BACKEND", "beam")
     cam, sb = meshes.sphere_in_box(50, 100)
     scene = sb.build()
     cam = dataclasses.replace(cam, res=(res, res))
