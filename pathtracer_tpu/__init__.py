@@ -50,6 +50,8 @@ from .scene import (  # noqa: F401
     cornell_box, modified_cornell, corner_scene,
 )
 from .bvh import FlatBVH, build_bvh, print_tree  # noqa: F401
+from .clusters import (BeamAccel, ClusterSet, build_beam_accel,  # noqa: F401
+                       build_clusters)
 from .image import Film, psnr, read_png, write_png  # noqa: F401
 from .render import render, render_film  # noqa: F401
 from .obj_loader import load_obj, load_obj_scene  # noqa: F401
