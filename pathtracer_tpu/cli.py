@@ -90,6 +90,10 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=5)
     p.add_argument("--keys", default="", help="comma list, one per frame")
     p.add_argument("--camera")
+    p.add_argument("--interactive", action="store_true",
+                   help="live ANSI terminal viewer with raw-key controls "
+                        "(wasd/space/z move, ijkl rotate, r reset, p "
+                        "screenshot, q quit); needs a tty")
 
     p = sub.add_parser("invert", help="inverse-rendering demo")
     p.add_argument("scene")
@@ -131,11 +135,16 @@ def main(argv=None):
                    f"{args.prefix}{r:g}.png", backend=args.backend)
 
     elif args.cmd == "realtime":
-        from .realtime import render_realtime
         cam, sc = _load_scene(args.scene, (args.res, args.res), args.camera)
-        sess = render_realtime(cam, sc, args.depth, args.frame_samples,
-                               args.screenshot_dir, frames=args.frames,
-                               keys=args.keys)
+        if args.interactive:
+            from .realtime import run_interactive
+            sess = run_interactive(cam, sc, args.depth, args.frame_samples,
+                                   screenshot_dir=args.screenshot_dir)
+        else:
+            from .realtime import render_realtime
+            sess = render_realtime(cam, sc, args.depth, args.frame_samples,
+                                   args.screenshot_dir, frames=args.frames,
+                                   keys=args.keys)
         print(sess.title)
 
     elif args.cmd == "invert":

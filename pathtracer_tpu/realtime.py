@@ -188,3 +188,79 @@ def render_realtime(camera: Camera, scene: Scene, depth: int,
             sess.key(key_list[i])
         sess.step()
     return sess
+
+
+# ---------------------------------------------------------------------------
+# Interactive terminal viewer
+# ---------------------------------------------------------------------------
+
+def ansi_frame(img: np.ndarray, max_cols: int = 128) -> str:
+    """Render an (H, W, 3) float image in [0,1] as 24-bit ANSI half-block
+    text (2 pixels per character row: upper via foreground '▀', lower via
+    background).  The TPU-appropriate 'window': works over any terminal,
+    including SSH — the reference's SFML window (render.h:219-387) has no
+    display to attach to on a TPU host."""
+    h, w = img.shape[:2]
+    step = max(1, (w + max_cols - 1) // max_cols)
+    small = img[:: step, :: step]
+    if small.shape[0] % 2:
+        small = small[:-1]
+    u8 = np.clip(small * 255.0, 0, 255).astype(np.uint8)
+    top = u8[0::2]
+    bot = u8[1::2]
+    lines = []
+    for tr, br in zip(top, bot):
+        parts = []
+        for (r1, g1, b1), (r2, g2, b2) in zip(tr, br):
+            parts.append(f"\x1b[38;2;{r1};{g1};{b1}m"
+                         f"\x1b[48;2;{r2};{g2};{b2}m▀")
+        lines.append("".join(parts) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+def run_interactive(camera: Camera, scene: Scene, depth: int = 5,
+                    frame_samples: int = 4, *, backend: str = "auto",
+                    seed: int = prng.SEED, screenshot_dir: str = ".",
+                    max_frames: Optional[int] = None,
+                    out=None) -> RealtimeSession:
+    """Interactive terminal session: renders progressively and reads the
+    reference's key bindings (render.h:276-338: wasd/arrows/space/z move,
+    ijkl rotate stands in for the arrow-rotate pairs, r reset,
+    p screenshot, q/ESC quit) from the raw terminal.  Requires a tty;
+    falls back to a ValueError otherwise (use render_realtime for
+    scripted/headless runs)."""
+    import select
+    import sys
+
+    out = out or sys.stdout
+    if not sys.stdin.isatty():
+        raise ValueError("run_interactive needs a tty; use render_realtime "
+                         "for headless driving")
+    import termios
+    import tty
+
+    sess = RealtimeSession(camera, scene, depth, frame_samples, seed=seed,
+                           screenshot_dir=screenshot_dir, backend=backend)
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    frames = 0
+    try:
+        tty.setcbreak(fd)
+        out.write("\x1b[2J")  # clear
+        while max_frames is None or frames < max_frames:
+            img = sess.step()
+            frames += 1
+            out.write("\x1b[H" + ansi_frame(img[::-1])
+                      + f"\n\x1b[0m{sess.title}  frame {sess.frame}  "
+                      f"[wasd/space/z move, ijkl rotate, r reset, "
+                      f"p shot, q quit]\n")
+            out.flush()
+            while select.select([sys.stdin], [], [], 0)[0]:
+                k = sys.stdin.read(1)
+                if k in ("q", "\x1b"):
+                    return sess
+                sess.key({"i": "up", "k": "down", "j": "left",
+                          "l": "right"}.get(k, k))
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+    return sess

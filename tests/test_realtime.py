@@ -101,3 +101,35 @@ def test_realtime_auto_picks_beam_for_big_scenes(monkeypatch):
     # incompatible film shape falls back
     cam3 = dataclasses.replace(cam, res=(48, 48))
     assert rt._pick_backend(cam3, scene, "auto") == "auto"
+
+
+def test_ansi_frame_renders_halfblocks():
+    import importlib
+
+    rt = importlib.import_module("pathtracer_tpu.realtime")
+    img = np.zeros((4, 4, 3), np.float32)
+    img[0, 0] = (1.0, 0.0, 0.0)
+    s = rt.ansi_frame(img)
+    lines = s.split("\n")
+    assert len(lines) == 2            # 4 rows -> 2 half-block lines
+    assert s.count("▀") == 8          # 4 cols x 2 lines
+    assert "\x1b[38;2;255;0;0m" in lines[0]   # the red pixel, upper half
+    assert lines[0].endswith("\x1b[0m")
+    # downsampling cap
+    big = np.zeros((8, 256, 3), np.float32)
+    s2 = rt.ansi_frame(big, max_cols=64)
+    assert s2.split("\n")[0].count("▀") == 64
+
+
+def test_run_interactive_requires_tty(monkeypatch):
+    import importlib
+    import io
+    import sys
+
+    import pytest
+
+    rt = importlib.import_module("pathtracer_tpu.realtime")
+    cam, scene = pt.corner_scene(res=(8, 8))
+    monkeypatch.setattr(sys, "stdin", io.StringIO(""))
+    with pytest.raises(ValueError, match="tty"):
+        rt.run_interactive(cam, scene, max_frames=1)
