@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Large-scene BVH benchmark (BASELINE config 4).
+"""Large-scene traversal benchmark (BASELINE config 4).
 
 The reference cannot run this workload at all (its GLSL uniform arrays cap
 at MAX_TRIANGLES=300, shader.h:76); the CPU path is its only recourse and is
-single-threaded.  We measure ray-segment throughput of the vectorized BVH
-traversal backend on a ~10k-triangle procedural scene.
+single-threaded.  Measures ray-segment throughput on a ~10k-triangle
+procedural scene; BENCH_BVH_BACKEND selects the backend (default "beam" —
+the coherent-beam megakernel; "cluster" for per-pixel-independent
+sampling; see README "Large scenes" and ROOFLINE.md).
 
 Prints ONE JSON line.
 """
