@@ -25,8 +25,8 @@ bounce directions decorrelate.  Two architectural moves close that gap:
 
      [VPU]    per-ray slab sweep of the supercluster AABBs; the per-box
               'any ray wants it' reductions stay in vector land (sublane
-              max + an 8-box lane reduction on the MXU) and land as an
-              (8,128) bit-plane  --DMA-->  SMEM;
+              max + an 8-box lane reduction on the MXU) and land as a
+              (16,128) bit-plane  --DMA-->  SMEM;
      [scalar] orders the passing superclusters front-to-back (per-octant
               precomputed orders);
      [VPU]    per-ray slab sweep of ONLY those superclusters' cluster
@@ -139,7 +139,8 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
     mats: (M, 8) f32 packed materials
     VMEM: tris (P, 16) f32 [v1, e1, e2, mat_id, N, pad3]
     out:  film (3, tile_rows, 128) f32 radiance sums
-    scratch: xfer VMEM/SMEM (8, 128) f32, runs (MAX_RUNS,) i32, DMA sem
+    scratch: xfer VMEM/SMEM (16, 128) f32, runs/squeue i32 lists,
+        best-hit VMEM accumulators, DMA sem
     """
     s0 = iparams_ref[0]
     seed_mix = iparams_ref[1].astype(jnp.uint32)
