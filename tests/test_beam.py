@@ -144,3 +144,23 @@ def test_phased_walk_bit_exact(monkeypatch):
                                    np.asarray(fr.data), atol=1e-6)
     finally:
         beam_kernel._launch.clear_cache()
+
+
+def test_depth1_bit_exact_nonsquare():
+    """W != H films use stacked Morton squares (beam_kernel Morton
+    decode); exercise that path end-to-end, not just the permutation."""
+    cam, scene = pt.cornell_box(res=(32, 64))
+    fb = beam_kernel.render_film_beam(cam, scene, samples=1, depth=1,
+                                      seed=4, interpret=True)
+    fr = pt.render_film(cam, scene, samples=1, depth=1, seed=4,
+                        backend="brute")
+    np.testing.assert_array_equal(np.asarray(fb.data), np.asarray(fr.data))
+
+
+def test_beam_rejects_incompatible_shapes():
+    cam, scene = pt.cornell_box(res=(48, 48))
+    with pytest.raises(ValueError, match="power-of-two"):
+        beam_kernel.render_film_beam(cam, scene, samples=1, interpret=True)
+    cam2, _ = pt.cornell_box(res=(64, 96))
+    with pytest.raises(ValueError, match="multiple"):
+        beam_kernel.render_film_beam(cam2, scene, samples=1, interpret=True)
