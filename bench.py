@@ -15,9 +15,16 @@ Three workloads:
 Timing discipline: the accelerator transport is ASYNCHRONOUS and
 ``block_until_ready`` does not fence on relayed backends, so every timed
 region ends with a host fetch of the film (np.asarray) — the number is
-honest end-to-end throughput including readback.
+honest end-to-end throughput including readback.  The TPU chip behind
+the axon tunnel is SHARED: a concurrent session can halve (or, as in the
+round-3 driver run, decimate) a single-run measurement.  Every metric is
+therefore the MEDIAN of BENCH_REPEATS (default 3) fetch-fenced runs with
+the min/max spread reported, and regressions are flagged in the output
+("regression": true + "regression_notes") instead of raised — a bad run
+must still emit the full record (round-3 postmortem: an assert here
+destroyed the whole round's perf artifact).
 
-Prints ONE JSON line: the headline cornell metric, with the other two
+Prints ONE JSON line: the headline cornell metric, with the other
 workloads under "extra" (same schema per entry).
 """
 
@@ -45,16 +52,26 @@ FLOPS_PER_PAIR_MT = 60
 FLOPS_SHADING = 160  # per segment: RNG + BRDF sample + bounce update
 
 
-def _measure(render, rays):
-    """Compile+drain, then honest fetch-fenced steady-state seconds."""
+def _measure(render, rays, repeats=None):
+    """Median of N fetch-fenced steady-state runs; returns
+    (median_rays_per_sec, spread_dict)."""
     import numpy as np
+    if repeats is None:
+        repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     film = render()
     np.asarray(film.data)  # compile + drain the async queue
-    t0 = time.perf_counter()
-    film = render()
-    np.asarray(film.data)  # fence: host fetch
-    dt = time.perf_counter() - t0
-    return rays / dt
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        film = render()
+        np.asarray(film.data)  # fence: host fetch
+        rates.append(rays / (time.perf_counter() - t0))
+    rates.sort()
+    n = len(rates)
+    med = (rates[n // 2] if n % 2
+           else 0.5 * (rates[n // 2 - 1] + rates[n // 2]))
+    return med, {"runs": n, "min": rates[0], "max": rates[-1],
+                 "spread": (rates[-1] - rates[0]) / med if med else 0.0}
 
 
 def main():
@@ -68,10 +85,11 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", "512"))
 
     results = []
+    regression_notes = []
 
     # 1. Diffuse Cornell (the headline).
     cam, scene = pt.cornell_box(res=(1024, 1024))
-    rps = _measure(
+    rps, sp = _measure(
         lambda: pt.render_film(cam, scene, samples=spp, depth=depth,
                                backend="pallas"),
         1024 * 1024 * spp * depth)
@@ -79,15 +97,21 @@ def main():
     results.append({
         "metric": "rays_per_sec_cornell1024", "value": rps,
         "unit": "rays/s", "vs_baseline": rps / BASE_CORNELL,
-        "vpu_util": rps * flops_seg / VPU_PEAK_FLOPS,
+        "vpu_util": rps * flops_seg / VPU_PEAK_FLOPS, "timing": sp,
     })
     # Perf-regression guard (round-2 review): the headline has been >=3x
-    # baseline since round 1; silent drift below that is a bug.
-    assert rps / BASE_CORNELL > 3.0, f"cornell regression: {rps:.3e} rays/s"
+    # baseline since round 1.  FLAG, never raise: the chip is shared and
+    # a contended run must still produce the full artifact (round 3 lost
+    # its entire perf record to an assert here).
+    if rps / BASE_CORNELL < 3.0:
+        regression_notes.append(
+            f"cornell headline {rps:.3e} rays/s < 3x baseline "
+            f"(steady state is ~1.5-1.9e9; spread {sp['spread']:.0%} — "
+            f"suspect chip contention if spread is large)")
 
     # 2. Specular modified Cornell (roughness 0.05 column of the sweep).
     cam_s, scene_s = pt.modified_cornell(0.05, res=(1024, 1024))
-    rps_s = _measure(
+    rps_s, sp_s = _measure(
         lambda: pt.render_film(cam_s, scene_s, samples=spp, depth=depth,
                                backend="pallas"),
         1024 * 1024 * spp * depth)
@@ -96,7 +120,7 @@ def main():
     results.append({
         "metric": "rays_per_sec_specular1024", "value": rps_s,
         "unit": "rays/s", "vs_baseline": rps_s / BASE_SPECULAR,
-        "vpu_util": rps_s * flops_seg_s / VPU_PEAK_FLOPS,
+        "vpu_util": rps_s * flops_seg_s / VPU_PEAK_FLOPS, "timing": sp_s,
     })
 
     # 3. Large scene (~10k tris) through the cluster backend.
@@ -113,7 +137,7 @@ def main():
     # equivalence measurement and ops/pallas/beam_kernel.py for why a
     # lane machine needs the coherence.  The per-pixel-independent
     # cluster backend is reported alongside.
-    rps_b = _measure(
+    rps_b, sp_b = _measure(
         lambda: pt.render_film(cam_b, scene_b, samples=bspp, depth=depth,
                                backend="beam"),
         bres * bres * bspp * depth)
@@ -121,11 +145,11 @@ def main():
         "metric": f"rays_per_sec_bvh_{scene_b.num_tris}tris_{bres}",
         "value": rps_b, "unit": "rays/s",
         "vs_baseline": rps_b / BASE_CORNELL,
-        "backend": "beam",
+        "backend": "beam", "timing": sp_b,
         "sampling": "coherent-beam (Sadeghi 2009): unbiased per pixel, "
                     "equal per-pixel variance, tile-correlated noise",
     })
-    rps_c = _measure(
+    rps_c, sp_c = _measure(
         lambda: pt.render_film(cam_b, scene_b, samples=bspp, depth=depth,
                                bvh=bvh, backend="cluster"),
         bres * bres * bspp * depth)
@@ -133,24 +157,15 @@ def main():
         "metric": f"rays_per_sec_bvh_cluster_{bres}",
         "value": rps_c, "unit": "rays/s",
         "vs_baseline": rps_c / BASE_CORNELL,
-        "backend": "cluster",
+        "backend": "cluster", "timing": sp_c,
         "sampling": "per-pixel independent (reference discipline)",
     })
-    # Roofline for the beam path: measure the traversal union (clusters
-    # intersected per tile-bounce) with the kernel's own counter, then
-    # convert to achieved VPU fraction.
-    from pathtracer_tpu.clusters import build_beam_accel
+    # Roofline for the beam path: the kernel's first-class instrumented
+    # launch (count_runs=True replaces film channel 0 with the emitted
+    # run counter — no global-flag poking, no cache clearing; the counts
+    # are exact, not riding on top of radiance).
     from pathtracer_tpu.ops.pallas import beam_kernel as _bk
-    import numpy as _np
-    _bk.DEBUG_COUNT_RUNS = True
-    _bk._launch.clear_cache()
-    acc_b = build_beam_accel(scene_b, bvh=bvh)
-    fcnt = pt.render_film(cam_b, scene_b, samples=8, depth=depth,
-                          backend="beam")
-    # render_film built its own accel; counter rides film channel 0
-    tests_seg = float(_np.asarray(fcnt.data)[..., 0].mean()) / depth *         acc_b.ctris
-    _bk.DEBUG_COUNT_RUNS = False
-    _bk._launch.clear_cache()
+    tests_seg = _bk.count_tri_tests(cam_b, scene_b, samples=8, depth=depth)
     results[-2]["tri_tests_per_segment"] = tests_seg
     results[-2]["vpu_util"] = (rps_b * (tests_seg * FLOPS_PER_PAIR_MT
                                         + FLOPS_SHADING) / VPU_PEAK_FLOPS)
@@ -161,11 +176,11 @@ def main():
     cam_w, scene_w = pt.cornell_box(res=(512, 512))
     for wdepth in (5, 16):
         rays_w = 512 * 512 * 64 * wdepth
-        rps_w = _measure(
+        rps_w, _spw = _measure(
             lambda d=wdepth: pt.render_film(cam_w, scene_w, samples=64,
                                             depth=d, backend="wavefront"),
             rays_w)
-        rps_m = _measure(
+        rps_m, _spm = _measure(
             lambda d=wdepth: pt.render_film(cam_w, scene_w, samples=64,
                                             depth=d, backend="pallas"),
             rays_w)
@@ -180,6 +195,9 @@ def main():
 
     head = dict(results[0])
     head["extra"] = results[1:]
+    head["regression"] = bool(regression_notes)
+    if regression_notes:
+        head["regression_notes"] = regression_notes
     print(json.dumps(head))
 
 

@@ -83,10 +83,20 @@ MAX_RUNS = 2000               # SMEM run-list capacity (clusters per phase)
 MAX_BEAM_CLUSTERS = 2000      # bit-plane capacity minus header slots
 MAX_BEAM_SC = 126
 
+# Capacity coupling (fail loudly if one constant is raised without the
+# others): the walk's n < MAX_RUNS guard silently DROPS clusters if the
+# bit-plane can legally hold more ids than the run list, and the
+# 8-aligned cluster sweep writes bits up to the next multiple of 8, which
+# must stay below the header lanes at 2031/2047.
+assert MAX_RUNS >= MAX_BEAM_CLUSTERS, \
+    "run list must hold every cluster the bit-plane can mark"
+assert ((MAX_BEAM_CLUSTERS + 7) // 8) * 8 <= 2031, \
+    "8-aligned cluster sweep would overwrite the bit-plane header slots"
+assert MAX_BEAM_SC <= 2031, "supercluster ids collide with header slots"
+
 # diagnostic knobs (scratch/beam_sweep2.py): statically disable stages
 DEBUG_SKIP_RUNS = False     # skip the triangle run engine
 DEBUG_SKIP_SWEEPS = False   # bit-planes forced to zero (no slab compute)
-DEBUG_COUNT_RUNS = False    # film channel 0 accumulates emitted run counts
 
 _GOLDEN = np.uint32(0x9E3779B9)
 _INV_U24 = np.float32(1.0 / 16777216.0)
@@ -128,7 +138,7 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             xfer_vmem, xfer_smem, runs_ref, squeue_ref, best_ref, sem, *,
             tile_rows: int, depth: int, spp: int, n_sc: int, n_cl: int,
             n_mats: int, ctris: int, has_specular: bool, spec_tries: int,
-            interpret: bool):
+            count_runs: bool, interpret: bool):
     """One Morton film tile, full path pipeline.  SMEM inputs:
 
     iparams: (8,) i32 [s0, seed_mix, res_x_log2, res_y, tile_px_log2,
@@ -492,12 +502,12 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                                  (qj + 1) if phase else nq, best_t))
                 n_runs, qi, ci = walk(qi, ci, jnp.int32(budget),
                                       qj + 1 if last else nq)
-                if DEBUG_COUNT_RUNS:
+                if count_runs:
                     nruns_total = nruns_total + n_runs.astype(jnp.float32)
                 exec_runs(n_runs)
                 if bounce > 0 and not last:
                     n_back, qj = walk_back(qj, jnp.int32(budget), qi - 1)
-                    if DEBUG_COUNT_RUNS:
+                    if count_runs:
                         nruns_total = (nruns_total
                                        + n_back.astype(jnp.float32))
                     exec_runs(n_back)
@@ -532,12 +542,16 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             albf = 1.0 - emitf
             hit = (best_t < FLOAT_INF) & alive
             hitf = hit.astype(jnp.float32)
-            rad_r = rad_r + hitf * thr_r * col_r * emitf
+            if not count_runs:
+                rad_r = rad_r + hitf * thr_r * col_r * emitf
             rad_g = rad_g + hitf * thr_g * col_g * emitf
             rad_b = rad_b + hitf * thr_b * col_b * emitf
 
             cont = hit & ~is_emit
-            if DEBUG_COUNT_RUNS:
+            if count_runs:
+                # instrumented launch: channel 0 carries ONLY the emitted
+                # run counts (the emission add above is skipped, so the
+                # counter is exact, not counter + mean red radiance)
                 rad_r = rad_r + nruns_total  # per-pixel: sum over bounces
 
             ndotd = nx * dx + ny * dy + nz * dz
@@ -614,16 +628,18 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_rows", "depth", "spp", "n_sc", "n_cl", "n_mats",
-                     "ctris", "has_specular", "n_tiles", "interpret"),
+                     "ctris", "has_specular", "n_tiles", "count_runs",
+                     "interpret"),
 )
 def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
             n_sc, n_cl, n_mats, ctris, has_specular, n_tiles,
-            interpret=False):
+            count_runs=False, interpret=False):
     (scb, scf, scn, sco, clb, mats, tris) = accel_arrays
     kern = functools.partial(
         _kernel, tile_rows=tile_rows, depth=depth, spp=spp, n_sc=n_sc,
         n_cl=n_cl, n_mats=n_mats, ctris=ctris, has_specular=has_specular,
-        spec_tries=mat.SPECULAR_TRIES, interpret=interpret)
+        spec_tries=mat.SPECULAR_TRIES, count_runs=count_runs,
+        interpret=interpret)
     n_rows = n_tiles * tile_rows
     return pl.pallas_call(
         kern,
@@ -654,17 +670,28 @@ def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
     )(iparams, cam_params, scb, scf, scn, sco, clb, mats, tris)
 
 
-_ACCEL_CACHE = []  # [(scene, accel)]; scene kept alive so ids stay unique
+_ACCEL_CACHE = []  # [(fingerprint, accel)]
+
+
+def _scene_fingerprint(scene: Scene):
+    """Cheap content key: two equal scenes built twice share one accel
+    (an id() key would rebuild and pin dead scenes' device arrays)."""
+    v1, v2, v3 = scene.host_verts()
+    mtype, albedo, emit, rough = scene.host_materials()
+    return (scene.num_tris, float(v1.sum()), float(v2.sum()),
+            float(v3.sum()), float(albedo.sum()), float(emit.sum()),
+            float(rough.sum()), int(mtype.sum()))
 
 
 def _accel_for(scene: Scene) -> BeamAccel:
     """Small per-scene accel cache: the host-side build (SAH cut + row
     packing) costs ~1 s at 10k tris and must not be paid per render call."""
-    for s, a in _ACCEL_CACHE:
-        if s is scene:
+    key = _scene_fingerprint(scene)
+    for k, a in _ACCEL_CACHE:
+        if k == key:
             return a
     a = build_beam_accel(scene)
-    _ACCEL_CACHE.append((scene, a))
+    _ACCEL_CACHE.append((key, a))
     del _ACCEL_CACHE[:-4]
     return a
 
@@ -696,12 +723,17 @@ def render_film_beam(camera: Camera, scene: Scene, samples: int,
                      accel: Optional[BeamAccel] = None,
                      tile_rows: int = DEFAULT_TILE_ROWS,
                      spp_per_call: Optional[int] = None,
+                     count_runs: bool = False,
                      interpret: bool = False,
                      verbose: bool = False) -> Film:
     """Render the sample-averaged linear film with the coherent-beam
     megakernel.  Unbiased per pixel at any spp; noise is tile-correlated
     (see module docstring) — use backend='cluster' for the reference's
-    per-pixel-independent sampling discipline."""
+    per-pixel-independent sampling discipline.
+
+    ``count_runs=True`` is the instrumented launch: film channel 0 is
+    REPLACED by the per-sample emitted-run count summed over bounces
+    (channels 1-2 still carry radiance); see count_tri_tests."""
     from ...ops.pallas import trace_kernel as tk
 
     width, height = camera.res
@@ -752,7 +784,7 @@ def render_film_beam(camera: Camera, scene: Scene, samples: int,
             depth=depth, spp=spp, n_sc=accel.num_superclusters,
             n_cl=accel.num_clusters, n_mats=accel.num_materials,
             ctris=accel.ctris, has_specular=scene.has_specular,
-            n_tiles=n_tiles, interpret=interpret)
+            n_tiles=n_tiles, count_runs=count_runs, interpret=interpret)
         s += spp
         if verbose:
             print(f"\rRendered: {s}/{samples} spp.", end="", flush=True)
@@ -762,3 +794,21 @@ def render_film_beam(camera: Camera, scene: Scene, samples: int,
     film = np.zeros((n_pix, 3), np.float32)
     film[_morton_to_raster(width, height)] = flat.T
     return Film((width, height), data=film.reshape(height, width, 3))
+
+
+def count_tri_tests(camera: Camera, scene: Scene, samples: int = 8,
+                    depth: int = 5, *, accel: Optional[BeamAccel] = None,
+                    tile_rows: int = DEFAULT_TILE_ROWS,
+                    interpret: bool = False) -> float:
+    """Mean triangle tests per ray segment — the traversal-union metric
+    the roofline analysis is built on (ROOFLINE.md §3).  Runs the
+    instrumented launch (count_runs=True): film channel 0 carries the
+    per-sample sum over bounces of emitted 8-tri runs, exactly (the
+    radiance-contamination bug of the old global-flag instrumentation is
+    gone), so mean / depth * ctris = tests per segment."""
+    if accel is None:
+        accel = _accel_for(scene)
+    film = render_film_beam(camera, scene, samples, depth, accel=accel,
+                            tile_rows=tile_rows, count_runs=True,
+                            interpret=interpret)
+    return float(np.asarray(film.data)[..., 0].mean()) / depth * accel.ctris

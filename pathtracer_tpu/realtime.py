@@ -257,10 +257,24 @@ def run_interactive(camera: Camera, scene: Scene, depth: int = 5,
             out.flush()
             while select.select([sys.stdin], [], [], 0)[0]:
                 k = sys.stdin.read(1)
-                if k in ("q", "\x1b"):
+                if k == "\x1b":
+                    # Drain the escape sequence: arrow keys arrive as
+                    # ESC [ A..D — map them to the rotate bindings instead
+                    # of quitting on the ESC prefix; a bare ESC quits.
+                    seq = ""
+                    while (len(seq) < 2
+                           and select.select([sys.stdin], [], [], 0.01)[0]):
+                        seq += sys.stdin.read(1)
+                    arrow = {"[A": "up", "[B": "down",
+                             "[C": "right", "[D": "left"}.get(seq)
+                    if arrow is None:
+                        return sess
+                    sess.key(arrow)
+                    continue
+                if k == "q":
                     return sess
                 sess.key({"i": "up", "k": "down", "j": "left",
-                          "l": "right"}.get(k, k))
+                          "l": "right", " ": "space"}.get(k, k))
     finally:
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
     return sess
