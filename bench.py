@@ -170,6 +170,29 @@ def main():
     results[-2]["vpu_util"] = (rps_b * (tests_seg * FLOPS_PER_PAIR_MT
                                         + FLOPS_SHADING) / VPU_PEAK_FLOPS)
 
+    # 3b. ~100k-triangle stress scene (BASELINE config 4's upper end;
+    # the reference GPU path is capped at 300 uniform triangles and its
+    # CPU path is single-threaded).  Unbounded cluster count via the
+    # beam kernel's positional bit-plane chunks.
+    gspp = int(os.environ.get("BENCH_GARDEN_SPP", "32"))
+    cam_g, gsb = meshes.mesh_garden()
+    scene_g = gsb.build()
+    cam_g = dataclasses.replace(cam_g, res=(bres, bres))
+    rps_g, sp_g = _measure(
+        lambda: pt.render_film(cam_g, scene_g, samples=gspp, depth=depth,
+                               backend="beam"),
+        bres * bres * gspp * depth)
+    tests_g = _bk.count_tri_tests(cam_g, scene_g, samples=4, depth=depth)
+    results.append({
+        "metric": f"rays_per_sec_garden_{scene_g.num_tris}tris_{bres}",
+        "value": rps_g, "unit": "rays/s",
+        "vs_baseline": rps_g / BASE_CORNELL,
+        "backend": "beam", "timing": sp_g,
+        "tri_tests_per_segment": tests_g,
+        "vpu_util": rps_g * (tests_g * FLOPS_PER_PAIR_MT
+                             + FLOPS_SHADING) / VPU_PEAK_FLOPS,
+    })
+
     # 4. Wavefront pipeline vs megakernel (round-2 review item 2): the
     # re-architecture claim is settled by measurement — see
     # ops/wavefront.py "MEASURED VERDICT" for the analysis.

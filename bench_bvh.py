@@ -30,7 +30,11 @@ def main():
     import numpy as np
 
     backend = os.environ.get("BENCH_BVH_BACKEND", "beam")
-    cam, sb = meshes.sphere_in_box(50, 100)
+    # BENCH_BVH_SCENE: "sphere" (~10k tris) or "garden" (~100k tris)
+    if os.environ.get("BENCH_BVH_SCENE", "sphere") == "garden":
+        cam, sb = meshes.mesh_garden()
+    else:
+        cam, sb = meshes.sphere_in_box(50, 100)
     scene = sb.build()
     cam = dataclasses.replace(cam, res=(res, res))
     bvh = pt.build_bvh(scene)

@@ -172,9 +172,14 @@ def build_clusters(
 
 BEAM_CTRIS = 8         # triangles per cluster (padded exactly to this;
                        # swept on v5e: 8 > 16 > 32 at 256-tri superclusters)
-BEAM_SC_TRIS = 256     # supercluster cut size
+BEAM_SC_TRIS = 256     # supercluster cut size (auto-doubled until the
+                       # supercluster count fits the kernel's 126 cap)
 BEAM_BLOCK = 8         # kernel tri-block width; BEAM_CTRIS % BEAM_BLOCK == 0
-MAX_BEAM_MATERIALS = 64
+MAX_BEAM_MATERIALS = 64   # above this the builder inlines materials into
+                          # the packed triangle rows (beam_kernel reads
+                          # color/pack per-tri instead of a table loop)
+MAX_SC_CLUSTERS = 2040    # per-supercluster cluster cap: one positional
+                          # bit-plane chunk (16x128 slots, 8-aligned)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -216,19 +221,21 @@ class BeamAccel:
     num_superclusters: int
     num_materials: int
     ctris: int
+    mats_inline: bool = False
 
     def tree_flatten(self):
         return (
             (self.tri_cols, self.tid_map, self.cl_bounds, self.sc_bounds,
              self.sc_first, self.sc_ncl, self.sc_order, self.mats),
             (self.num_clusters, self.num_superclusters, self.num_materials,
-             self.ctris),
+             self.ctris, self.mats_inline),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, num_clusters=aux[0], num_superclusters=aux[1],
-                   num_materials=aux[2], ctris=aux[3])
+                   num_materials=aux[2], ctris=aux[3],
+                   mats_inline=aux[4] if len(aux) > 4 else False)
 
     @property
     def scene_bounds(self):
@@ -240,11 +247,18 @@ def build_beam_accel(
     scene: Scene,
     bvh: Optional[FlatBVH] = None,
     ctris: int = BEAM_CTRIS,
-    sc_tris: int = BEAM_SC_TRIS,
+    sc_tris: Optional[int] = None,
 ) -> BeamAccel:
     """Cut the SAH BVH into (supercluster, cluster) levels for the beam
     kernel.  Leaves bigger than the cut sizes (rare; SAH termination) are
-    split by centroid median so the padding invariant holds."""
+    split by centroid median so the padding invariant holds.
+
+    ``sc_tris=None`` auto-sizes the supercluster cut: starting from
+    BEAM_SC_TRIS it doubles until the supercluster count fits the
+    kernel's bit-row (126) — this is what makes the structure
+    size-unbounded (100k+ triangles) without a third hierarchy level;
+    the cluster level is unbounded by construction (the kernel sweeps
+    clusters through positional bit-plane chunks)."""
     from . import materials as mat
 
     assert ctris % PACK_PAD == 0
@@ -291,7 +305,13 @@ def build_beam_accel(
         return (split_range(ids[order[:half]], limit)
                 + split_range(ids[order[half:]], limit))
 
-    # Supercluster ranges, then cluster ranges within each.
+    # Supercluster ranges, then cluster ranges within each.  The
+    # kernel's per-octant order row holds 126 lanes, so the supercluster
+    # cut auto-coarsens until it fits (126 is MAX_BEAM_SC in beam_kernel).
+    if sc_tris is None:
+        sc_tris = BEAM_SC_TRIS
+        while len(cut(0, sc_tris)) > 126:
+            sc_tris *= 2
     sc_ranges = cut(0, sc_tris)
     sc_first, sc_ncl, sc_bounds = [], [], []
     cl_tid_chunks, cl_bounds = [], []
@@ -319,6 +339,12 @@ def build_beam_accel(
     C = len(cl_tid_chunks)
     S = len(sc_ranges)
     assert sum(len(ids) for ids in cl_tid_chunks) == scene.num_tris
+    if max(sc_ncl) > MAX_SC_CLUSTERS:
+        raise ValueError(
+            f"a supercluster holds {max(sc_ncl)} clusters "
+            f"(> {MAX_SC_CLUSTERS}, one positional bit-plane chunk); "
+            f"raise ctris (scene has {scene.num_tris} tris at "
+            f"ctris={ctris}, sc_tris={sc_tris})")
 
     # Material dedup -> packed table (trace_kernel._packed_table rules).
     mtype, albedo, emit, rough = scene.host_materials()
@@ -341,10 +367,14 @@ def build_beam_accel(
                 [color, [rough[i], flag, 0, 0, 0]]).astype(np.float32))
         mat_id[i] = keys[key]
     M = len(rows)
-    if M > MAX_BEAM_MATERIALS:
-        raise ValueError(
-            f"scene has {M} unique materials (> {MAX_BEAM_MATERIALS}); "
-            f"use the cluster/bvh backends")
+    mat_rows = np.stack(rows)
+    # Scenes with more unique materials than the kernel's shade-table
+    # loop can afford switch to INLINE materials: color lands in triangle
+    # columns 13:16 and column 9 packs flags*8 + roughness (flags in
+    # {0,1,2}, roughness in [0,1] — exactly recoverable); the kernel then
+    # selects material data in the run engine instead of looping the
+    # table.  This removes the old 64-material cliff entirely.
+    mats_inline = M > MAX_BEAM_MATERIALS
 
     # Packed triangle rows, cluster-padded to exactly ctris.
     # one extra all-degenerate SENTINEL cluster (id C): the kernel's
@@ -361,7 +391,12 @@ def build_beam_accel(
         e2 = v3[ids] - v1[ids]
         tri_cols[r0 : r0 + n, 3:6] = e1
         tri_cols[r0 : r0 + n, 6:9] = e2
-        tri_cols[r0 : r0 + n, 9] = mat_id[ids]
+        if mats_inline:
+            mr = mat_rows[mat_id[ids]]
+            tri_cols[r0 : r0 + n, 9] = mr[:, 4] * 8.0 + mr[:, 3]
+            tri_cols[r0 : r0 + n, 13:16] = mr[:, 0:3]
+        else:
+            tri_cols[r0 : r0 + n, 9] = mat_id[ids]
         tri_cols[r0 : r0 + n, 10:13] = np.cross(e1, e2)
         tid_map[r0 : r0 + n] = ids
 
@@ -394,9 +429,10 @@ def build_beam_accel(
         sc_first=jnp.asarray(np.asarray(sc_first, np.int32)),
         sc_ncl=jnp.asarray(np.asarray(sc_ncl, np.int32)),
         sc_order=jnp.asarray(order),
-        mats=jnp.asarray(np.stack(rows)),
+        mats=jnp.asarray(mat_rows[:MAX_BEAM_MATERIALS]),
         num_clusters=C,
         num_superclusters=S,
-        num_materials=M,
+        num_materials=min(M, MAX_BEAM_MATERIALS),
         ctris=ctris,
+        mats_inline=mats_inline,
     )

@@ -99,6 +99,48 @@ def sphere_in_box(n_lat: int = 50, n_lon: int = 100):
     return cam, sb
 
 
+def mesh_garden(grid: int = 7, n_lat: int = 22, n_lon: int = 48):
+    """A ~100k-triangle stress scene (BASELINE config 4's upper end): a
+    grid x grid field of alternating spheres and tori, each with its own
+    diffuse color, inside the 500^3 lit room of sphere_in_box.  grid=7 at
+    the default tessellation is ~98.5k triangles; grid=3 is a ~18k-tri
+    fast variant for tests.  Returns (camera, builder)."""
+    from .linalg import DEG2RAD
+    from .camera import make_camera
+
+    sb = SceneBuilder()
+    white, light = Diffuse(1), Emit(1)
+    s = 500.0
+    sb.add_quad(((s, 0, 0), (0, 0, 0), (0, 0, s), (s, 0, s)), white)
+    sb.add_quad(((s, s, 0), (0, s, 0), (0, s, s), (s, s, s)), white)
+    sb.add_quad(((s, 0, s), (0, 0, s), (0, s, s), (s, s, s)), white)
+    sb.add_quad(((0, 0, s), (0, 0, 0), (0, s, 0), (0, s, s)),
+                Diffuse(0, 1, 0))
+    sb.add_quad(((s, 0, 0), (s, 0, s), (s, s, s), (s, s, 0)),
+                Diffuse(1, 0, 0))
+    sb.add_quad(((330, s - 1, 170), (330, s - 1, 330), (170, s - 1, 330),
+                 (170, s - 1, 170)), light)
+    pitch = s / (grid + 1)
+    r = 0.36 * pitch
+    for i in range(grid):
+        for j in range(grid):
+            cx = pitch * (i + 1)
+            cz = pitch * (j + 1)
+            cy = 60.0 + 30.0 * ((i * 7 + j * 3) % 5)
+            col = (0.25 + 0.7 * ((i * 5 + j) % grid) / max(grid - 1, 1),
+                   0.25 + 0.7 * ((j * 5 + i) % grid) / max(grid - 1, 1),
+                   0.6)
+            m = Diffuse(*col)
+            if (i + j) % 2 == 0:
+                uv_sphere((cx, cy, cz), r, n_lat, n_lon, m, builder=sb)
+            else:
+                torus((cx, cy, cz), 0.72 * r, 0.3 * r,
+                      n_lon, n_lat + 2, m, builder=sb)
+    cam = make_camera((250, 330, -420), (0, -0.12, 1), (0, 1, 0),
+                      (512, 512), 62 * DEG2RAD, 1.0)
+    return cam, sb
+
+
 def save_obj(builder: SceneBuilder, obj_path: str,
              mtl_path: Optional[str] = None) -> None:
     """Write the builder's triangles as OBJ (+MTL with the reference's

@@ -29,26 +29,30 @@ bounce directions decorrelate.  Two architectural moves close that gap:
               (16,128) bit-plane  --DMA-->  SMEM;
      [scalar] orders the passing superclusters front-to-back (per-octant
               precomputed orders);
-     [VPU]    per-ray slab sweep of ONLY those superclusters' cluster
-              AABBs (trip counts are scalar-computed: real branches, not
-              predication) -> second bit-plane  --DMA-->  SMEM;
+     [VPU]    per-ray slab sweep of those superclusters' cluster AABBs,
+              bits written at POSITIONAL (queue-order) slots — the
+              cluster count is therefore unbounded: when the queued
+              clusters exceed one 2048-slot plane the sweep/walk/engine
+              trio simply runs again on the next CHUNK (scene size is
+              limited by VMEM triangle storage, not the bit-plane);
      [scalar] walks the bits in order, emitting a run-list of cluster ids
               into SMEM scratch;
      [VPU]    consumes the runs: dense 8-wide Moller-Trumbore blocks with
               per-ray nearest-hit + fused (mat_id, normal) selects.
 
-   The walk is PHASED (PHASE_BUDGETS): the nearest clusters are
-   intersected first, then the cluster sweep re-runs against the updated
-   per-ray best_t, so occluded clusters are culled exactly like the
-   ordered-stack early-out of per-ray traversal — but paid once per tile
-   phase instead of per ray.  Every sweep test is per-ray exact; there is
-   no conservative frustum anywhere, so specular bounces and the camera
-   cone need no special cases.
+   Every sweep test is per-ray exact; there is no conservative frustum
+   anywhere, so specular bounces and the camera cone need no special
+   cases.  Later chunks are slab-culled against the best_t the earlier
+   chunks' engine already established (ordered-traversal early-out, paid
+   per chunk instead of per ray).
 
-Everything else (RNG discipline for camera jitter, bounce math, material
-packing) matches ops/pallas/trace_kernel.py; pixels are laid out in Morton
-order so a tile is a compact square screen patch (primary coherence) and
-the film is de-interleaved once on the host.
+Film layout: pixels are traced in Morton order within fixed 64x64
+SQUARES (one 4096-pixel tile = one square), the squares rastered
+row-major.  ANY resolution is supported: the film pads up to the next
+64-multiple in each dimension (<= 6% waste at VGA sizes, none at
+powers of two) and the host crops after de-interleaving.  Everything
+else (RNG discipline for camera jitter, bounce math, material packing)
+matches ops/pallas/trace_kernel.py.
 """
 
 from __future__ import annotations
@@ -72,27 +76,17 @@ from ...clusters import BeamAccel, build_beam_accel
 LANES = 128
 BLOCK = 8                     # triangles per unrolled block
 DEFAULT_TILE_ROWS = 32        # rays per tile = tile_rows * 128
-# Walk phases: measured on the 9.8k-tri benchmark, the phased t-cull
-# re-sweep recovers less than it costs (ideal-t-cull union is only 28%
-# below the no-cull union there, and a second sweep+DMA+walk eats that),
-# so the production default is a single full phase.  The phased two-ended
-# machinery stays for scenes with heavier occlusion: set e.g. (16, 1<<30).
-PHASE_BUDGETS = (1 << 30,)
 BITROWS = 16                  # bit-plane sublanes: capacity BITROWS*128
-MAX_RUNS = 2000               # SMEM run-list capacity (clusters per phase)
-MAX_BEAM_CLUSTERS = 2000      # bit-plane capacity minus header slots
-MAX_BEAM_SC = 126
+CHUNK_CAP = BITROWS * LANES   # positional slots per cluster chunk (2048)
+MAX_BEAM_SC = 126             # supercluster ids fit one bit-plane column
+                              # band below the header slots
 
-# Capacity coupling (fail loudly if one constant is raised without the
-# others): the walk's n < MAX_RUNS guard silently DROPS clusters if the
-# bit-plane can legally hold more ids than the run list, and the
-# 8-aligned cluster sweep writes bits up to the next multiple of 8, which
-# must stay below the header lanes at 2031/2047.
-assert MAX_RUNS >= MAX_BEAM_CLUSTERS, \
-    "run list must hold every cluster the bit-plane can mark"
-assert ((MAX_BEAM_CLUSTERS + 7) // 8) * 8 <= 2031, \
-    "8-aligned cluster sweep would overwrite the bit-plane header slots"
-assert MAX_BEAM_SC <= 2031, "supercluster ids collide with header slots"
+_SQ = 64                      # Morton square side; one square = one tile
+_SQ_PIX = _SQ * _SQ           # 4096
+
+# The supercluster bit-plane places bit of sc id b at (b % 16, b // 16):
+# ids < 128 occupy lanes 0-7 only, far from the header lanes at 126/127.
+assert MAX_BEAM_SC <= 126
 
 # diagnostic knobs (scratch/beam_sweep2.py): statically disable stages
 DEBUG_SKIP_RUNS = False     # skip the triangle run engine
@@ -101,8 +95,8 @@ DEBUG_SKIP_SWEEPS = False   # bit-planes forced to zero (no slab compute)
 _GOLDEN = np.uint32(0x9E3779B9)
 _INV_U24 = np.float32(1.0 / 16777216.0)
 
-# header slots inside the (16,128) bit-plane handed to the scalar core
-# (bit of box id b lives at row b % 16, lane b // 16; ids stay < 2000)
+# header slots inside the (16,128) supercluster bit-plane handed to the
+# scalar core (sc bits live at lanes 0-7; headers sit at the top lanes)
 _HDR_OCT = 2047    # dominant direction octant (as float 0..7)
 _HDR_ALIVE = 2031  # alive-ray count
 
@@ -134,28 +128,32 @@ def _deinterleave_bits(v):
 
 
 def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
-            clb_ref, mats_ref, tris_ref, film_ref,
+            mats_ref, clb_ref, tris_ref, film_ref,
             xfer_vmem, xfer_smem, runs_ref, squeue_ref, best_ref, sem, *,
             tile_rows: int, depth: int, spp: int, n_sc: int, n_cl: int,
             n_mats: int, ctris: int, has_specular: bool, spec_tries: int,
-            count_runs: bool, interpret: bool):
+            mats_inline: bool, count_runs: bool, interpret: bool):
     """One Morton film tile, full path pipeline.  SMEM inputs:
 
-    iparams: (8,) i32 [s0, seed_mix, res_x_log2, res_y, tile_px_log2,
-                       pad, pad, pad]
+    iparams: (8,) i32 [s0, seed_mix, res_y (ACTUAL image height, for the
+                       GPU seed convention), nsq_x (padded-film squares
+                       per row), tile_px_log2, pad, pad, pad]
     cam: (16,) f32 (trace_kernel._camera_params layout)
-    scb: (S, 8) f32 supercluster AABBs; scf/scn: (S,) i32; sco: (8, S) i32
-    clb: (C, 8) f32 cluster AABBs
-    mats: (M, 8) f32 packed materials
-    VMEM: tris (P, 16) f32 [v1, e1, e2, mat_id, N, pad3]
+    scb: (S*8,) f32 FLAT supercluster AABB rows [lb, rt, pad2] (2D (N,8)
+        SMEM windows are lane-padded 16x by Mosaic; flat 1D is not);
+        scf/scn: (S,) i32; sco: (8, S) i32
+    mats: (M, 8) f32 packed materials (ignored when mats_inline)
+    clb: (C*8,) f32 flat cluster AABB rows — SMEM while C <= CLB_SMEM_MAX,
+        else VMEM
+    VMEM: tris (P, 16) f32 [v1, e1, e2, mat_id|pack, N, color(3)|pad3]
     out:  film (3, tile_rows, 128) f32 radiance sums
     scratch: xfer VMEM/SMEM (16, 128) f32, runs/squeue i32 lists,
-        best-hit VMEM accumulators, DMA sem
+        best-hit VMEM accumulators (5 channels, +3 inline-color), DMA sem
     """
     s0 = iparams_ref[0]
     seed_mix = iparams_ref[1].astype(jnp.uint32)
-    resx_log2 = iparams_ref[2]
-    res_y = iparams_ref[3]
+    res_y = iparams_ref[2]
+    nsq_x = iparams_ref[3]
     tpx_log2 = iparams_ref[4]  # log2(pixels per tile)
 
     tile = pl.program_id(0)
@@ -163,15 +161,15 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
     lin = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
     pix = (tile << tpx_log2) + lin
-    # Morton -> (w, h).  For W != H the image is a stack of W x W Morton
-    # squares: low 2*log2(W) bits interleave, high bits are extra rows.
-    pu = pix.astype(jnp.uint32)
-    sq_bits = (2 * resx_log2).astype(jnp.uint32)
-    sq_mask = (jnp.uint32(1) << sq_bits) - np.uint32(1)
-    in_sq = pu & sq_mask
-    w = _deinterleave_bits(in_sq).astype(jnp.int32)
-    h_sq = _deinterleave_bits(in_sq >> 1).astype(jnp.int32)
-    h = h_sq + ((pu >> sq_bits).astype(jnp.int32) << resx_log2)
+    # 64x64 Morton squares rastered row-major over the padded film; a
+    # tile (<= 4096 px, power-of-two) never straddles a square, so the
+    # square index is scalar per tile.
+    sq = tile >> (12 - tpx_log2)
+    sq_row = sq // nsq_x
+    sq_col = sq - sq_row * nsq_x
+    in_sq = pix.astype(jnp.uint32) & np.uint32(_SQ_PIX - 1)
+    w = sq_col * _SQ + _deinterleave_bits(in_sq).astype(jnp.int32)
+    h = sq_row * _SQ + _deinterleave_bits(in_sq >> 1).astype(jnp.int32)
 
     pix_seed = (h.astype(jnp.uint32)
                 + w.astype(jnp.uint32) * res_y.astype(jnp.uint32)
@@ -188,10 +186,11 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
 
     row16 = jax.lax.broadcasted_iota(jnp.int32, (BITROWS, LANES), 0)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (BITROWS, LANES), 1)
+    nbest = 8 if mats_inline else 5
 
     def to_smem(acc):
         """Hand a (16,128) bit-plane to the scalar core (the ONE
-        vector->scalar crossing per use; ~1 us, so used per phase, never
+        vector->scalar crossing per use; ~1 us, so used per chunk, never
         per cluster)."""
         xfer_vmem[:, :] = acc
         if interpret:
@@ -240,9 +239,12 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                 tile, reduced over sublanes only: returns a (1, 128)
                 row-mask (the cross-lane 'any' is done 8 boxes at a time
                 by a tiny MXU dot so nothing ever crosses to the scalar
-                core inside the sweep)."""
-                lbx, lby, lbz = bref[idx, 0], bref[idx, 1], bref[idx, 2]
-                rtx, rty, rtz = bref[idx, 3], bref[idx, 4], bref[idx, 5]
+                core inside the sweep).  ``bref`` is a FLAT (N*8,) f32
+                array of [lb, rt, pad2] rows: 2D (N, 8) SMEM arrays are
+                lane-padded 16x by Mosaic, flat 1D arrays are not."""
+                b0 = idx << 3
+                lbx, lby, lbz = bref[b0], bref[b0 + 1], bref[b0 + 2]
+                rtx, rty, rtz = bref[b0 + 3], bref[b0 + 4], bref[b0 + 5]
                 t1x = (lbx - ox) * inv_dx
                 t2x = (rtx - ox) * inv_dx
                 t1y = (lby - oy) * inv_dy
@@ -262,19 +264,20 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
 
             ones_col = jnp.ones((LANES, 1), jnp.float32)
 
-            def sweep_group(bref, g, best_t, acc):
-                """Test boxes [8g, 8g+8) and set their bits in ``acc``
-                (bit of box b lives at (b % 16, b // 16): group g fills
-                rows [8*(g&1), 8*(g&1)+8) of lane g >> 1)."""
-                rows = [slab_rowmask(bref, g * 8 + j, best_t)
+            def sweep_group(bref, base, pg, best_t, acc):
+                """Test boxes [base, base+8) and set bits for them at
+                POSITIONS [8*pg, 8*pg+8) in ``acc`` (bit of position p
+                lives at (p % 16, p // 16): position-group pg fills rows
+                [8*(pg&1), 8*(pg&1)+8) of lane pg >> 1)."""
+                rows = [slab_rowmask(bref, base + j, best_t)
                         for j in range(8)]
                 buf = jnp.concatenate(rows, axis=0)          # (8, 128)
                 counts = jax.lax.dot_general(
                     buf, ones_col, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)       # (8, 1)
                 counts16 = jnp.concatenate([counts, counts], axis=0)
-                half = (g & 1) * 8
-                sel = ((lane16 == (g >> 1)) & (row16 >= half)
+                half = (pg & 1) * 8
+                sel = ((lane16 == (pg >> 1)) & (row16 >= half)
                        & (row16 < half + 8))
                 return jnp.where(sel, counts16, acc)
 
@@ -290,17 +293,14 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                       + (mdz > 0).astype(jnp.float32) * 4.0)
             n_alive = jnp.sum(alive.astype(jnp.float32), keepdims=True)[:1, :1]
 
-            best_t = jnp.full(shape, FLOAT_INF, jnp.float32)
-            f_mat = jnp.full(shape, -1.0, jnp.float32)
-            f_nx = zeros
-            f_ny = zeros
-            f_nz = zeros
+            best_t0 = jnp.full(shape, FLOAT_INF, jnp.float32)
 
             # --- supercluster sweep -> bits + header -> scalar core ------
             acc = jnp.zeros((BITROWS, LANES), jnp.float32)
             if not DEBUG_SKIP_SWEEPS:
                 for g in range((n_sc + 7) // 8):   # static: S is small
-                    acc = sweep_group(scb_ref, jnp.int32(g), best_t, acc)
+                    acc = sweep_group(scb_ref, jnp.int32(8 * g),
+                                      jnp.int32(g), best_t0, acc)
             hdr = ((row16 == (_HDR_OCT % 16))
                    & (lane16 == (_HDR_OCT // 16)))
             acc = jnp.where(hdr, octant, acc)
@@ -325,102 +325,17 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
 
             nq = jax.lax.fori_loop(0, n_sc, sq_body, jnp.int32(0))
             nq = jnp.where(any_alive, nq, 0)
-
-            def cl_sweep(q0, q_end, best_t):
-                def sqb(i, acc):
-                    sc = squeue_ref[i]
-                    first = scf_ref[sc]
-                    g0 = first >> 3
-                    g1 = (first + scn_ref[sc] + 7) >> 3
-
-                    def grp(g, acc):
-                        # groups are 8-aligned; edge groups test a few
-                        # neighbouring clusters too (idempotent: the walk
-                        # only reads bits inside queued ranges, and the
-                        # builder pads the bounds array with inverted
-                        # never-hit boxes)
-                        return sweep_group(clb_ref, g, best_t, acc)
-
-                    return jax.lax.fori_loop(g0, g1, grp, acc)
-
-                if DEBUG_SKIP_SWEEPS:
-                    return jnp.zeros((BITROWS, LANES), jnp.float32)
-                return jax.lax.fori_loop(
-                    q0, q_end, sqb,
-                    jnp.zeros((BITROWS, LANES), jnp.float32))
-
-            def walk(q0, c0, budget, q_end):
-                """Scalar: emit bit-set cluster ids (squeue positions
-                [q0, q_end), forward) into runs_ref; returns
-                (n_runs, qi, ci) cursor for resume."""
-                def cond(st):
-                    qi, ci, n, em = st
-                    return (qi < q_end) & (em < budget) & (n < MAX_RUNS)
-
-                def body(st):
-                    qi, ci, n, em = st
-                    sc = squeue_ref[qi]
-                    c = scf_ref[sc] + ci
-                    bit = xfer_smem[c & 15, c >> 4] > 0.5
-
-                    @pl.when(bit)
-                    def _():
-                        runs_ref[n] = c
-
-                    keep = bit.astype(jnp.int32)
-                    ci = ci + 1
-                    nxt = ci >= scn_ref[sc]
-                    return (jnp.where(nxt, qi + 1, qi),
-                            jnp.where(nxt, 0, ci), n + keep, em + keep)
-
-                qi, ci, n, _ = jax.lax.while_loop(
-                    cond, body, (q0, c0, jnp.int32(0), jnp.int32(0)))
-                return n, qi, ci
-
-            def walk_back(q0, budget, q_low):
-                """Scalar: emit bit-set clusters of WHOLE superclusters
-                from squeue position q0 DOWN to (exclusive) q_low — the
-                squeue is front-to-back for the +u beam, so walking from
-                the far end is front-to-back for the -u beam.  Returns
-                (n_runs, qj) with qj = last unprocessed position."""
-                def cond(st):
-                    qj, n, em = st
-                    return (qj > q_low) & (em < budget) & (n < MAX_RUNS)
-
-                def body(st):
-                    qj, n, em = st
-                    sc = squeue_ref[qj]
-                    first = scf_ref[sc]
-
-                    def cl(i, st2):
-                        n, em = st2
-                        c = first + i
-                        bit = xfer_smem[c & 15, c >> 4] > 0.5
-
-                        @pl.when(bit)
-                        def _():
-                            runs_ref[n] = c
-
-                        keep = bit.astype(jnp.int32)
-                        return (n + keep, em + keep)
-
-                    n, em = jax.lax.fori_loop(0, scn_ref[sc], cl, (n, em))
-                    return (qj - 1, n, em)
-
-                qj, n, _ = jax.lax.while_loop(
-                    cond, body, (q0, jnp.int32(0), jnp.int32(0)))
-                return n, qj
+            squeue_ref[nq] = jnp.int32(0)  # sentinel: pre-scan may peek
 
             # The run engine accumulates hit state in VMEM scratch refs
-            # instead of fori carries: 5 quantities x 4 vregs of carry
+            # instead of fori carries: 5-8 quantities x 4 vregs of carry
             # would pressure the register allocator into spilling inside
             # the hot loop, and ref round-trips per 8-tri block are cheap.
             bpc = ctris // BLOCK  # blocks per cluster (static)
-            best_ref[0] = best_t
-            best_ref[1] = f_mat
-            best_ref[2] = f_nx
-            best_ref[3] = f_ny
-            best_ref[4] = f_nz
+            best_ref[0] = best_t0
+            best_ref[1] = jnp.full(shape, -1.0, jnp.float32)
+            for i in range(2, nbest):
+                best_ref[i] = zeros
 
             def run_blocks(pi, _):
                 # TWO 8-tri blocks per iteration: halves loop + ref
@@ -432,11 +347,7 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                     bi = pi * 2 + half
                     c = runs_ref[bi // bpc]
                     bases.append(c * ctris + (bi % bpc) * BLOCK)
-                best_t = best_ref[0]
-                f_mat = best_ref[1]
-                f_nx = best_ref[2]
-                f_ny = best_ref[3]
-                f_nz = best_ref[4]
+                st = [best_ref[i] for i in range(nbest)]
                 for base in bases:
                     for j in range(BLOCK):
                         slot = base + j
@@ -466,17 +377,18 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                         tt = f * (e2x * qx + e2y * qy + e2z * qz)
                         ok = ((jnp.abs(a) >= EPS) & (u >= 0.0)
                               & (v >= 0.0) & (u + v <= 1.0)
-                              & (tt > 0.0) & (tt < best_t))
-                        best_t = jnp.where(ok, tt, best_t)
-                        f_mat = jnp.where(ok, tris_ref[slot, 9], f_mat)
-                        f_nx = jnp.where(ok, tris_ref[slot, 10], f_nx)
-                        f_ny = jnp.where(ok, tris_ref[slot, 11], f_ny)
-                        f_nz = jnp.where(ok, tris_ref[slot, 12], f_nz)
-                best_ref[0] = best_t
-                best_ref[1] = f_mat
-                best_ref[2] = f_nx
-                best_ref[3] = f_ny
-                best_ref[4] = f_nz
+                              & (tt > 0.0) & (tt < st[0]))
+                        st[0] = jnp.where(ok, tt, st[0])
+                        st[1] = jnp.where(ok, tris_ref[slot, 9], st[1])
+                        st[2] = jnp.where(ok, tris_ref[slot, 10], st[2])
+                        st[3] = jnp.where(ok, tris_ref[slot, 11], st[3])
+                        st[4] = jnp.where(ok, tris_ref[slot, 12], st[4])
+                        if mats_inline:
+                            st[5] = jnp.where(ok, tris_ref[slot, 13], st[5])
+                            st[6] = jnp.where(ok, tris_ref[slot, 14], st[6])
+                            st[7] = jnp.where(ok, tris_ref[slot, 15], st[7])
+                for i in range(nbest):
+                    best_ref[i] = st[i]
                 return 0
 
             def exec_runs(n_runs):
@@ -485,51 +397,125 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                     jax.lax.fori_loop(0, (n_runs * bpc + 1) // 2,
                                       run_blocks, 0)
 
-            # Phase 1 walks BOTH ends of the front-to-back queue: the
-            # forward end is nearest for the +u half of the tile's rays,
-            # the far end is nearest for the -u half (bounce 0 has one
-            # beam, forward only).  Establishing early hits on both halves
-            # is what makes the phase-2 re-sweep's per-ray t-cull bite.
-            qi = jnp.int32(0)
-            ci = jnp.int32(0)
-            qj = nq - 1
-            nruns_total = jnp.zeros((1, 1), jnp.float32)
-            for phase, budget in enumerate(PHASE_BUDGETS):
-                last = phase == len(PHASE_BUDGETS) - 1
-                # later phases only re-sweep the clusters the walk has
-                # not consumed yet (the updated best_t culls there)
-                to_smem(cl_sweep(qi if phase else jnp.int32(0),
-                                 (qj + 1) if phase else nq, best_t))
-                n_runs, qi, ci = walk(qi, ci, jnp.int32(budget),
-                                      qj + 1 if last else nq)
-                if count_runs:
-                    nruns_total = nruns_total + n_runs.astype(jnp.float32)
-                exec_runs(n_runs)
-                if bounce > 0 and not last:
-                    n_back, qj = walk_back(qj, jnp.int32(budget), qi - 1)
-                    if count_runs:
-                        nruns_total = (nruns_total
-                                       + n_back.astype(jnp.float32))
-                    exec_runs(n_back)
+            # ---- positional chunked cluster sweep / walk / engine -------
+            # Clusters are swept and walked in QUEUE-POSITIONAL bit slots
+            # (8-aligned per supercluster), so cluster COUNT is unbounded:
+            # when queued clusters exceed one 2048-slot plane, the trio
+            # runs again on the next chunk, slab-culled by the best_t the
+            # previous chunks' engine established (ordered early-out).
+            def align8(x):
+                return (x + 7) & jnp.int32(-8)
+
+            def chunk_cond(st):
+                qs, nruns = st
+                return qs < nq
+
+            def chunk_body(st):
+                qs, nruns = st
                 best_t = best_ref[0]
-                f_mat = best_ref[1]
-                f_nx = best_ref[2]
-                f_ny = best_ref[3]
-                f_nz = best_ref[4]
+
+                # scalar pre-scan: queued sc's [qs, qe) fit this chunk.
+                # The (qe == qs) clause guarantees progress; it can only
+                # engage if a single supercluster exceeded CHUNK_CAP
+                # positions, which the builder forbids (MAX_SC_CLUSTERS
+                # in clusters.py), so no bit is ever dropped.
+                def pcond(p):
+                    qe, base = p
+                    fits = (base + align8(scn_ref[squeue_ref[qe]])
+                            <= CHUNK_CAP)
+                    return (qe < nq) & ((qe == qs) | fits)
+
+                def pbody(p):
+                    qe, base = p
+                    return qe + 1, base + align8(scn_ref[squeue_ref[qe]])
+
+                qe, _ = jax.lax.while_loop(
+                    pcond, pbody, (qs, jnp.int32(0)))
+
+                # vector: positional sweep of queued sc's [qs, qe)
+                def sweep_sc(qi, carry):
+                    acc, pbase = carry
+                    sc = squeue_ref[qi]
+                    first = scf_ref[sc]
+                    ngr = (scn_ref[sc] + 7) >> 3
+
+                    def grp(k, acc2):
+                        return sweep_group(clb_ref, first + (k << 3),
+                                           (pbase >> 3) + k, best_t, acc2)
+
+                    acc = jax.lax.fori_loop(0, ngr, grp, acc)
+                    return acc, pbase + (ngr << 3)
+
+                if DEBUG_SKIP_SWEEPS:
+                    acc2 = jnp.zeros((BITROWS, LANES), jnp.float32)
+                else:
+                    acc2, _ = jax.lax.fori_loop(
+                        qs, qe, sweep_sc,
+                        (jnp.zeros((BITROWS, LANES), jnp.float32),
+                         jnp.int32(0)))
+                to_smem(acc2)
+
+                # scalar: walk positions in queue order, emit cluster ids
+                def wcond(wst):
+                    qi, ci, n, p = wst
+                    return qi < qe
+
+                def wbody(wst):
+                    qi, ci, n, p = wst
+                    sc = squeue_ref[qi]
+                    c = scf_ref[sc] + ci
+                    bit = xfer_smem[p & 15, p >> 4] > 0.5
+
+                    @pl.when(bit)
+                    def _():
+                        runs_ref[n] = c
+
+                    n = n + bit.astype(jnp.int32)
+                    ci = ci + 1
+                    p = p + 1
+                    nxt = ci >= scn_ref[sc]
+                    return (jnp.where(nxt, qi + 1, qi),
+                            jnp.where(nxt, 0, ci), n,
+                            jnp.where(nxt, align8(p), p))
+
+                _, _, n_runs, _ = jax.lax.while_loop(
+                    wcond, wbody,
+                    (qs, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+                exec_runs(n_runs)
+                if count_runs:
+                    nruns = nruns + n_runs.astype(jnp.float32)
+                return qe, nruns
+
+            _, nruns_total = jax.lax.while_loop(
+                chunk_cond, chunk_body,
+                (jnp.int32(0), jnp.zeros((1, 1), jnp.float32)))
+
+            best_t = best_ref[0]
+            f_mat = best_ref[1]
+            f_nx = best_ref[2]
+            f_ny = best_ref[3]
+            f_nz = best_ref[4]
 
             # ---- shading (trace_kernel one_bounce math) -----------------
-            col_r = zeros
-            col_g = zeros
-            col_b = zeros
-            rough = zeros
-            flags = zeros
-            for m in range(n_mats):
-                is_m = f_mat == jnp.float32(m)
-                col_r = jnp.where(is_m, mats_ref[m, 0], col_r)
-                col_g = jnp.where(is_m, mats_ref[m, 1], col_g)
-                col_b = jnp.where(is_m, mats_ref[m, 2], col_b)
-                rough = jnp.where(is_m, mats_ref[m, 3], rough)
-                flags = jnp.where(is_m, mats_ref[m, 4], flags)
+            if mats_inline:
+                col_r = best_ref[5]
+                col_g = best_ref[6]
+                col_b = best_ref[7]
+                flags = jnp.floor(f_mat * 0.125)
+                rough = f_mat - 8.0 * flags
+            else:
+                col_r = zeros
+                col_g = zeros
+                col_b = zeros
+                rough = zeros
+                flags = zeros
+                for m in range(n_mats):
+                    is_m = f_mat == jnp.float32(m)
+                    col_r = jnp.where(is_m, mats_ref[m, 0], col_r)
+                    col_g = jnp.where(is_m, mats_ref[m, 1], col_g)
+                    col_b = jnp.where(is_m, mats_ref[m, 2], col_b)
+                    rough = jnp.where(is_m, mats_ref[m, 3], rough)
+                    flags = jnp.where(is_m, mats_ref[m, 4], flags)
 
             inv_n = jax.lax.rsqrt(jnp.maximum(
                 f_nx * f_nx + f_ny * f_ny + f_nz * f_nz, 1e-30))
@@ -625,22 +611,35 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
     film_ref[2] = acc_b
 
 
+# Cluster AABBs live in SMEM (fast scalar loads in the sweep) while they
+# fit the ~1MB budget alongside the planes/run lists; gigantic scenes
+# spill them to VMEM (broadcast loads cost vector issue slots: measured
+# ~-6% on the 9.8k-tri bench when always-VMEM).  Bounds are passed FLAT
+# (N*8,) — Mosaic lane-pads 2D (N, 8) SMEM windows 16x.
+CLB_SMEM_MAX = 20000  # clusters (640KB flat)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tile_rows", "depth", "spp", "n_sc", "n_cl", "n_mats",
-                     "ctris", "has_specular", "n_tiles", "count_runs",
-                     "interpret"),
+                     "ctris", "has_specular", "n_tiles", "mats_inline",
+                     "count_runs", "interpret"),
 )
 def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
             n_sc, n_cl, n_mats, ctris, has_specular, n_tiles,
-            count_runs=False, interpret=False):
-    (scb, scf, scn, sco, clb, mats, tris) = accel_arrays
+            mats_inline=False, count_runs=False, interpret=False):
+    (scb, scf, scn, sco, mats, clb, tris) = accel_arrays
     kern = functools.partial(
         _kernel, tile_rows=tile_rows, depth=depth, spp=spp, n_sc=n_sc,
         n_cl=n_cl, n_mats=n_mats, ctris=ctris, has_specular=has_specular,
-        spec_tries=mat.SPECULAR_TRIES, count_runs=count_runs,
-        interpret=interpret)
+        spec_tries=mat.SPECULAR_TRIES, mats_inline=mats_inline,
+        count_runs=count_runs, interpret=interpret)
     n_rows = n_tiles * tile_rows
+    nbest = 8 if mats_inline else 5
+    clb_smem = n_cl <= CLB_SMEM_MAX
+    clb_space = pltpu.SMEM if clb_smem else pltpu.VMEM
+    scb = scb.reshape(-1)           # flat: no 16x SMEM lane padding
+    clb = clb.reshape(-1)
     return pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -651,8 +650,8 @@ def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # sc_first
             pl.BlockSpec(memory_space=pltpu.SMEM),   # sc_ncl
             pl.BlockSpec(memory_space=pltpu.SMEM),   # sc_order
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # cl_bounds
             pl.BlockSpec(memory_space=pltpu.SMEM),   # mats
+            pl.BlockSpec(memory_space=clb_space),    # cl_bounds
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tris
         ],
         out_specs=pl.BlockSpec((3, tile_rows, LANES), lambda i: (0, i, 0),
@@ -661,13 +660,13 @@ def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
         scratch_shapes=[
             pltpu.VMEM((BITROWS, LANES), jnp.float32),
             pltpu.SMEM((BITROWS, LANES), jnp.float32),
-            pltpu.SMEM((MAX_RUNS + 2,), jnp.int32),
+            pltpu.SMEM((CHUNK_CAP + 2,), jnp.int32),
             pltpu.SMEM((MAX_BEAM_SC + 2,), jnp.int32),
-            pltpu.VMEM((5, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((nbest, tile_rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(iparams, cam_params, scb, scf, scn, sco, clb, mats, tris)
+    )(iparams, cam_params, scb, scf, scn, sco, mats, clb, tris)
 
 
 _ACCEL_CACHE = []  # [(fingerprint, accel)]
@@ -696,13 +695,18 @@ def _accel_for(scene: Scene) -> BeamAccel:
     return a
 
 
-def _morton_to_raster(width: int, height: int) -> np.ndarray:
-    """raster_index[morton_index] for a W x H image (W = 2^k; H a
-    multiple of W; Morton squares stacked along y)."""
-    idx = np.arange(width * height, dtype=np.uint64)
-    sq = width * width
-    in_sq = idx % sq
-    sq_i = idx // sq
+def _padded_res(width: int, height: int) -> Tuple[int, int]:
+    """Film dims padded up to the 64x64 Morton-square grid."""
+    return (-(-width // _SQ) * _SQ, -(-height // _SQ) * _SQ)
+
+
+def _sq_to_raster(wp: int, hp: int) -> np.ndarray:
+    """raster_index[device_index] for the padded wp x hp film: device
+    order is Morton within each 64x64 square, squares row-major."""
+    idx = np.arange(wp * hp, dtype=np.uint64)
+    nsq_x = wp // _SQ
+    sq = idx // _SQ_PIX
+    in_sq = idx % _SQ_PIX
 
     def deint(v):
         v = v & 0x5555555555555555
@@ -710,12 +714,80 @@ def _morton_to_raster(width: int, height: int) -> np.ndarray:
         v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
         v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
         v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
-        v = (v | (v >> 16)) & 0x00000000FFFFFFFF
         return v
 
-    w = deint(in_sq)
-    h = deint(in_sq >> 1) + sq_i * width
-    return (h * width + w).astype(np.int64)
+    w = (sq % nsq_x) * _SQ + deint(in_sq)
+    h = (sq // nsq_x) * _SQ + deint(in_sq >> 1)
+    return (h * wp + w).astype(np.int64)
+
+
+def render_sum_beam(camera: Camera, scene: Scene, sample0: int,
+                    samples: int, depth: int = 5, *, seed: int = 1,
+                    accel: Optional[BeamAccel] = None,
+                    tile_rows: int = DEFAULT_TILE_ROWS,
+                    spp_per_call: Optional[int] = None,
+                    count_runs: bool = False,
+                    interpret: bool = False,
+                    verbose: bool = False) -> np.ndarray:
+    """Radiance SUM over samples [sample0, sample0+samples) as an
+    (H, W, 3) float32 numpy array.  Because each (pixel, sample) pair
+    owns an independent RNG stream, sample windows compose exactly:
+    summing two adjacent windows equals one combined render — the
+    property block-boundary checkpointing (render.py) relies on.
+
+    Any resolution is supported (the film pads to the 64x64 Morton
+    square grid on device and crops here)."""
+    width, height = camera.res
+    wp, hp = _padded_res(width, height)
+    n_pix = wp * hp
+    tile_rows = min(tile_rows, _SQ_PIX // LANES)
+    while _SQ_PIX % (tile_rows * LANES):
+        tile_rows //= 2
+        if tile_rows == 0:
+            raise ValueError(f"untileable tile_rows for {width}x{height}")
+    n_tiles = n_pix // (tile_rows * LANES)
+    tpx_log2 = (tile_rows * LANES).bit_length() - 1
+
+    if accel is None:
+        accel = _accel_for(scene)
+    if accel.num_superclusters > MAX_BEAM_SC:
+        raise ValueError(
+            f"{accel.num_superclusters} superclusters > {MAX_BEAM_SC}; "
+            f"rebuild with larger sc_tris")
+    from ...ops.pallas import trace_kernel as tk
+    cam_params = jnp.asarray(tk._camera_params(camera))
+    mix = (int(seed) * 0x85EBCA6B) & 0xFFFFFFFF
+    seed_mix = mix - (1 << 32) if mix >= (1 << 31) else mix
+    accel_arrays = (accel.sc_bounds, accel.sc_first, accel.sc_ncl,
+                    accel.sc_order, accel.mats, accel.cl_bounds,
+                    accel.tri_cols)
+
+    if spp_per_call is None:
+        spp_per_call = max(1, min(samples, (1 << 25) // (n_pix * depth)))
+
+    film_m = jnp.zeros((3, n_pix // LANES, LANES), jnp.float32)
+    s = 0
+    while s < samples:
+        spp = min(spp_per_call, samples - s)
+        iparams = jnp.array(
+            [sample0 + s, seed_mix, height, wp // _SQ, tpx_log2, 0, 0, 0],
+            jnp.int32)
+        film_m = film_m + _launch(
+            iparams, cam_params, accel_arrays, tile_rows=tile_rows,
+            depth=depth, spp=spp, n_sc=accel.num_superclusters,
+            n_cl=accel.num_clusters, n_mats=accel.num_materials,
+            ctris=accel.ctris, has_specular=scene.has_specular,
+            n_tiles=n_tiles, mats_inline=accel.mats_inline,
+            count_runs=count_runs, interpret=interpret)
+        s += spp
+        if verbose:
+            print(f"\rRendered: {sample0 + s} spp.", end="", flush=True)
+    if verbose:
+        print()
+    flat = np.asarray(film_m).reshape(3, n_pix)
+    img = np.zeros((n_pix, 3), np.float32)
+    img[_sq_to_raster(wp, hp)] = flat.T
+    return img.reshape(hp, wp, 3)[:height, :width]
 
 
 def render_film_beam(camera: Camera, scene: Scene, samples: int,
@@ -734,66 +806,11 @@ def render_film_beam(camera: Camera, scene: Scene, samples: int,
     ``count_runs=True`` is the instrumented launch: film channel 0 is
     REPLACED by the per-sample emitted-run count summed over bounces
     (channels 1-2 still carry radiance); see count_tri_tests."""
-    from ...ops.pallas import trace_kernel as tk
-
-    width, height = camera.res
-    if width & (width - 1):
-        raise ValueError(f"beam backend needs power-of-two width, got {width}")
-    if height % width:
-        raise ValueError(
-            f"beam backend needs height to be a multiple of width "
-            f"(Morton squares), got {width}x{height}")
-    n_pix = width * height
-    while n_pix % (tile_rows * LANES):
-        tile_rows //= 2
-        if tile_rows == 0:
-            raise ValueError(f"{width}x{height} not tileable")
-    n_tiles = n_pix // (tile_rows * LANES)
-    tpx_log2 = (tile_rows * LANES).bit_length() - 1
-
-    if accel is None:
-        accel = _accel_for(scene)
-    if accel.num_clusters > MAX_BEAM_CLUSTERS:
-        raise ValueError(
-            f"scene has {accel.num_clusters} clusters "
-            f"(> {MAX_BEAM_CLUSTERS} bit-plane capacity); rebuild the "
-            f"accel with larger ctris or use backend='cluster'")
-    if accel.num_superclusters > MAX_BEAM_SC:
-        raise ValueError(
-            f"{accel.num_superclusters} superclusters > {MAX_BEAM_SC}; "
-            f"rebuild with larger sc_tris")
-    cam_params = jnp.asarray(tk._camera_params(camera))
-    mix = (int(seed) * 0x85EBCA6B) & 0xFFFFFFFF
-    seed_mix = mix - (1 << 32) if mix >= (1 << 31) else mix
-    accel_arrays = (accel.sc_bounds, accel.sc_first, accel.sc_ncl,
-                    accel.sc_order, accel.cl_bounds, accel.mats,
-                    accel.tri_cols)
-
-    if spp_per_call is None:
-        spp_per_call = max(1, min(samples, (1 << 25) // (n_pix * depth)))
-
-    film_m = jnp.zeros((3, n_pix // LANES, LANES), jnp.float32)
-    s = 0
-    while s < samples:
-        spp = min(spp_per_call, samples - s)
-        iparams = jnp.array(
-            [s, seed_mix, width.bit_length() - 1, height, tpx_log2, 0, 0, 0],
-            jnp.int32)
-        film_m = film_m + _launch(
-            iparams, cam_params, accel_arrays, tile_rows=tile_rows,
-            depth=depth, spp=spp, n_sc=accel.num_superclusters,
-            n_cl=accel.num_clusters, n_mats=accel.num_materials,
-            ctris=accel.ctris, has_specular=scene.has_specular,
-            n_tiles=n_tiles, count_runs=count_runs, interpret=interpret)
-        s += spp
-        if verbose:
-            print(f"\rRendered: {s}/{samples} spp.", end="", flush=True)
-    if verbose:
-        print()
-    flat = np.asarray(film_m).reshape(3, n_pix) / np.float32(samples)
-    film = np.zeros((n_pix, 3), np.float32)
-    film[_morton_to_raster(width, height)] = flat.T
-    return Film((width, height), data=film.reshape(height, width, 3))
+    film = render_sum_beam(
+        camera, scene, 0, samples, depth, seed=seed, accel=accel,
+        tile_rows=tile_rows, spp_per_call=spp_per_call,
+        count_runs=count_runs, interpret=interpret, verbose=verbose)
+    return Film(camera.res, data=film / np.float32(samples))
 
 
 def count_tri_tests(camera: Camera, scene: Scene, samples: int = 8,

@@ -58,7 +58,7 @@ def _kernel(start_ref, count_ref, bounds_ref, order_ref, tris_ref, rays_ref,
             t_ref, s_ref, *, tile_rows: int, n_clusters: int):
     """One ray tile vs every (reachable) cluster.
 
-    SMEM: start (C,), count (C,) i32; bounds (C, 8) f32; order (1, 1,
+    SMEM: start (C,), count (C,) i32; bounds (C*8,) flat f32; order (1, 1,
     C_pad) i32 (this tile's front-to-back cluster visit order,
     lane-padded; padding ranks are never visited).
     VMEM: tris (P, 9) f32 packed [v1, e1, e2]; rays (6, tile_rows, 128)
@@ -81,12 +81,15 @@ def _kernel(start_ref, count_ref, bounds_ref, order_ref, tris_ref, rays_ref,
         c = order_ref[0, 0, rank]
 
         # Slab test (aabb.h:20-29) of the whole tile vs this cluster's box.
-        t1x = (bounds_ref[c, 0] - ox) * inv_dx
-        t2x = (bounds_ref[c, 3] - ox) * inv_dx
-        t1y = (bounds_ref[c, 1] - oy) * inv_dy
-        t2y = (bounds_ref[c, 4] - oy) * inv_dy
-        t1z = (bounds_ref[c, 2] - oz) * inv_dz
-        t2z = (bounds_ref[c, 5] - oz) * inv_dz
+        b0 = c << 3  # bounds are FLAT (C*8,): 2D (C, 8) SMEM windows
+        #              are lane-padded 16x by Mosaic and overflow at
+        #              ~30k clusters; flat 1D windows are not padded
+        t1x = (bounds_ref[b0 + 0] - ox) * inv_dx
+        t2x = (bounds_ref[b0 + 3] - ox) * inv_dx
+        t1y = (bounds_ref[b0 + 1] - oy) * inv_dy
+        t2y = (bounds_ref[b0 + 4] - oy) * inv_dy
+        t1z = (bounds_ref[b0 + 2] - oz) * inv_dz
+        t2z = (bounds_ref[b0 + 5] - oz) * inv_dz
         tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
                                        jnp.minimum(t1y, t2y)),
                            jnp.minimum(t1z, t2z))
@@ -272,8 +275,8 @@ def intersect_clusters(
     planes = jnp.concatenate([ray_o.T, ray_d.T], axis=0)  # (6, Rp)
     planes = planes.reshape(6, Rp // LANES, LANES)
 
-    t, slot = _launch(cs.start, cs.count, cs.bounds, order, cs.tri_data,
-                      planes, tile_rows=tile_rows,
+    t, slot = _launch(cs.start, cs.count, cs.bounds.reshape(-1), order,
+                      cs.tri_data, planes, tile_rows=tile_rows,
                       n_clusters=cs.num_clusters, interpret=interpret)
     t = t.reshape(Rp)
     slot = slot.reshape(Rp)

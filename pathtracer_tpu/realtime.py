@@ -42,14 +42,11 @@ def _pick_backend(camera: Camera, scene: Scene, backend: str) -> str:
         return backend
     from .render import BRUTE_MAX, _on_tpu
 
-    w, h = camera.res
-    if (scene.padded_size > BRUTE_MAX and _on_tpu()
-            and w & (w - 1) == 0 and h % w == 0):
+    if scene.padded_size > BRUTE_MAX and _on_tpu():
         try:
             from .ops.pallas import beam_kernel
             accel = beam_kernel._accel_for(scene)
-            if (accel.num_clusters <= beam_kernel.MAX_BEAM_CLUSTERS
-                    and accel.num_superclusters <= beam_kernel.MAX_BEAM_SC):
+            if accel.num_superclusters <= beam_kernel.MAX_BEAM_SC:
                 return "beam"
         except ValueError:
             pass

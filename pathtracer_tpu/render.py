@@ -14,9 +14,10 @@ Backend selection ('auto'):
   * small scenes (<= BRUTE_MAX padded triangles) on TPU -> the fused
     Pallas megakernel ('pallas'); on CPU the dense XLA path ('brute');
   * larger scenes on TPU -> the coherent-beam megakernel ('beam',
-    ops/pallas/beam_kernel.py) when the film shape and scene fit it,
-    else the Pallas cluster traversal ('cluster'); on CPU the XLA
-    packet-BVH ('bvh').
+    ops/pallas/beam_kernel.py; any resolution and cluster count since
+    round 4), falling back to the Pallas cluster traversal ('cluster')
+    with a warning only when the accel cannot represent the scene; on
+    CPU the XLA packet-BVH ('bvh').
   See _auto_backend for the exact rules.
 
 RNG discipline: one independent hash stream per (pixel, sample) pair
@@ -149,28 +150,33 @@ def _auto_backend(camera: Camera, scene: Scene,
                   checkpoint=None) -> str:
     """Pick the fastest valid backend: the fused Pallas megakernel on real
     TPU hardware (small scenes, power-of-two width); for big scenes on
-    TPU the coherent-beam megakernel when the film shape and scene fit it
-    (same unbiased estimator and per-pixel variance as independent
-    sampling — measured PSNR-equal at equal spp, see README "Large
-    scenes" — but tile-correlated noise and no checkpointing, so
-    resumable renders and odd shapes fall back to the Pallas cluster
-    traversal); the dense XLA path on CPU or odd sizes; the XLA
-    packet-BVH for big scenes on CPU."""
+    TPU the coherent-beam megakernel (same unbiased estimator and
+    per-pixel variance as independent sampling — measured PSNR-equal at
+    equal spp, see README "Large scenes" — but tile-correlated noise;
+    any resolution and any cluster count since round 4, and resumable
+    renders checkpoint at sample-block boundaries); the dense XLA path
+    on CPU or odd sizes; the XLA packet-BVH for big scenes on CPU.
+
+    If the beam accel cannot represent the scene (a supercluster
+    overflow or a non-EMIT emissive material), the 6.7x-slower cluster
+    path is used and a warning says so — never a silent cliff."""
     width, height = camera.res
     if scene.padded_size > BRUTE_MAX:
         if not _on_tpu():
             return "bvh"
-        if checkpoint is None and width & (width - 1) == 0 \
-                and height % width == 0:
-            try:
-                from .ops.pallas import beam_kernel
-                accel = beam_kernel._accel_for(scene)
-                if (accel.num_clusters <= beam_kernel.MAX_BEAM_CLUSTERS
-                        and accel.num_superclusters
-                        <= beam_kernel.MAX_BEAM_SC):
-                    return "beam"
-            except ValueError:
-                pass
+        try:
+            from .ops.pallas import beam_kernel
+            accel = beam_kernel._accel_for(scene)
+            if accel.num_superclusters <= beam_kernel.MAX_BEAM_SC:
+                return "beam"
+            reason = (f"{accel.num_superclusters} superclusters > "
+                      f"{beam_kernel.MAX_BEAM_SC}")
+        except ValueError as e:
+            reason = str(e)
+        import warnings
+        warnings.warn(
+            f"auto backend: falling back from the beam megakernel to the "
+            f"~6.7x-slower cluster path: {reason}", stacklevel=2)
         return "cluster"
     from .ops.pallas.trace_kernel import MAX_PALLAS_TRIS
     if (_on_tpu() and scene.num_tris <= MAX_PALLAS_TRIS
@@ -245,11 +251,12 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
             "systolic array pads K to 128 (~8% utilization), landing at VPU "
             "speed before relayout cost; use backend='pallas'")
     if backend == "beam":
-        if checkpoint is not None:
-            raise ValueError(
-                "backend='beam' does not support checkpointing yet; use "
-                "backend='cluster' for resumable large-scene renders")
         from .ops.pallas import beam_kernel
+        if checkpoint is not None:
+            return _render_beam_checkpointed(
+                camera, scene, samples, depth, seed=seed,
+                checkpoint=checkpoint, checkpoint_every=checkpoint_every,
+                verbose=verbose, _abort_after=_abort_after)
         return beam_kernel.render_film_beam(
             camera, scene, samples, depth, seed=seed,
             interpret=not _on_tpu(), verbose=verbose)
@@ -405,6 +412,70 @@ def _render_pallas_checkpointed(camera: Camera, scene: Scene, samples: int,
         if _abort_after is not None and blocks_done >= _abort_after:
             ckpt.save_render_checkpoint(
                 checkpoint, np.asarray(film), samples_done, meta)
+            raise KeyboardInterrupt(
+                f"aborted after {blocks_done} blocks (test hook)")
+    if verbose:
+        print()
+    return Film((width, height), data=(film / np.float32(samples)))
+
+
+def _render_beam_checkpointed(camera: Camera, scene: Scene, samples: int,
+                              depth: int, *, seed: int, checkpoint: str,
+                              checkpoint_every: int = 1,
+                              verbose: bool = False,
+                              _abort_after: Optional[int] = None,
+                              block_spp: Optional[int] = None) -> Film:
+    """Resumable coherent-beam render: same block-boundary scheme as the
+    Pallas megakernel (render_sum_beam windows compose exactly because
+    every (pixel, sample) pair owns an independent RNG stream), closing
+    the round-3 'beam cannot checkpoint' cliff."""
+    import os
+
+    from .ops.pallas import beam_kernel
+    from .utils import checkpoint as ckpt
+
+    width, height = camera.res
+    if block_spp is None:
+        block_spp = max(1, min(samples, (1 << 24) // (width * height)))
+    meta = {"width": width, "height": height, "samples": samples,
+            "depth": depth, "seed": seed, "backend": "beam",
+            "block_spp": block_spp,
+            "scene_sum": float(scene.host_verts()[0].sum()
+                               + scene.host_materials()[1].sum())}
+
+    samples_done = 0
+    film = np.zeros((height, width, 3), np.float32)
+    cpath = checkpoint if checkpoint.endswith(".npz") else checkpoint + ".npz"
+    if os.path.exists(cpath):
+        film_sum, samples_done, saved = ckpt.load_render_checkpoint(cpath)
+        if saved != meta:
+            raise ValueError(
+                f"checkpoint {cpath} was written by a different render "
+                f"config:\n  saved: {saved}\n  this:  {meta}")
+        film = np.asarray(film_sum)
+        if verbose:
+            print(f"Resuming at sample {samples_done}/{samples}.")
+
+    interp = not _on_tpu()
+    accel = beam_kernel._accel_for(scene)
+    blocks_done = 0
+    while samples_done < samples:
+        spp = min(block_spp, samples - samples_done)
+        film = film + beam_kernel.render_sum_beam(
+            camera, scene, samples_done, spp, depth, seed=seed,
+            accel=accel, spp_per_call=spp, interpret=interp)
+        samples_done += spp
+        blocks_done += 1
+        if (blocks_done % checkpoint_every == 0
+                or samples_done >= samples):
+            ckpt.save_render_checkpoint(
+                checkpoint, film, samples_done, meta)
+        if verbose:
+            print(f"\rRendered: {samples_done}/{samples} spp.",
+                  end="", flush=True)
+        if _abort_after is not None and blocks_done >= _abort_after:
+            ckpt.save_render_checkpoint(
+                checkpoint, film, samples_done, meta)
             raise KeyboardInterrupt(
                 f"aborted after {blocks_done} blocks (test hook)")
     if verbose:

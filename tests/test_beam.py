@@ -3,10 +3,11 @@
 Correctness strategy: depth-1 renders are BIT-EXACT against the oracle
 backends (camera jitter uses the identical per-(pixel,sample) streams and
 a depth-1 image is pure first-hit emission — no bounce sampling), which
-exercises the whole traversal machinery: Morton tiling, supercluster and
-cluster sweeps, the scalar walk, phased t-culling, and the run engine.
-Deeper bounces change the SAMPLING discipline (tile-shared uniforms), so
-they are validated statistically.
+exercises the whole traversal machinery: 64x64 Morton-square tiling with
+arbitrary-resolution padding, supercluster and positional-chunked cluster
+sweeps, the scalar walk, and the run engine.  Deeper bounces change the
+SAMPLING discipline (tile-shared uniforms), so they are validated
+statistically.
 """
 
 import dataclasses
@@ -78,9 +79,9 @@ def test_deep_bounce_statistical():
 
 
 def test_morton_mapping_roundtrip():
-    for w, h in ((32, 32), (16, 64)):
-        m = beam_kernel._morton_to_raster(w, h)
-        assert sorted(m.tolist()) == list(range(w * h))
+    for wp, hp in ((64, 64), (128, 64), (192, 320)):
+        m = beam_kernel._sq_to_raster(wp, hp)
+        assert sorted(m.tolist()) == list(range(wp * hp))
 
 
 def test_beam_accel_invariants():
@@ -120,35 +121,49 @@ def test_render_film_backend_beam():
     fr = pt.render_film(cam, scene, samples=2, depth=1, seed=3,
                         backend="brute")
     np.testing.assert_array_equal(np.asarray(fb.data), np.asarray(fr.data))
-    with pytest.raises(ValueError, match="checkpoint"):
-        pt.render_film(cam, scene, samples=2, depth=1, backend="beam",
-                       checkpoint="/tmp/nope.npz")
 
 
-def test_phased_walk_bit_exact(monkeypatch):
-    """The phased two-ended walk + cursor-limited re-sweep is off by
-    default (measured slower on the bench scene) but must stay correct:
-    budgeted phases re-cull with the updated best_t and may never drop a
-    cluster a ray still needs."""
-    monkeypatch.setattr(beam_kernel, "PHASE_BUDGETS", (4, 1 << 30))
+def test_beam_checkpoint_resume(tmp_path):
+    """Beam renders checkpoint at sample-block boundaries and resume
+    bit-identically (the round-3 'beam cannot checkpoint' cliff)."""
+    cam, scene = _sphere_cam(32)
+    ck = str(tmp_path / "beam_ck")
+    full = pt.render_film(cam, scene, samples=4, depth=2, seed=3,
+                          backend="beam")
+    with pytest.raises(KeyboardInterrupt):
+        pt.render_film(cam, scene, samples=4, depth=2, seed=3,
+                       backend="beam", checkpoint=ck, _abort_after=1)
+    resumed = pt.render_film(cam, scene, samples=4, depth=2, seed=3,
+                             backend="beam", checkpoint=ck)
+    np.testing.assert_array_equal(np.asarray(resumed.data),
+                                  np.asarray(full.data))
+
+
+def test_chunked_walk_bit_exact(monkeypatch):
+    """The positional cluster plane processes queued superclusters in
+    2048-slot chunks; forcing tiny chunks must not change a single bit
+    (chunk boundaries only regroup the sweep/walk/engine trio — and
+    later chunks get slab-culled by earlier best_t, which may only
+    remove provably occluded clusters)."""
+    cam, scene = _sphere_cam(32)
+    monkeypatch.setattr(beam_kernel, "CHUNK_CAP", 64)
     beam_kernel._launch.clear_cache()
     try:
-        cam, scene = _sphere_cam(32)
         fb = beam_kernel.render_film_beam(cam, scene, samples=1, depth=2,
                                           seed=2, interpret=True)
-        monkeypatch.setattr(beam_kernel, "PHASE_BUDGETS", (1 << 30,))
+        monkeypatch.undo()
         beam_kernel._launch.clear_cache()
         fr = beam_kernel.render_film_beam(cam, scene, samples=1, depth=2,
                                           seed=2, interpret=True)
-        np.testing.assert_allclose(np.asarray(fb.data),
-                                   np.asarray(fr.data), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(fb.data),
+                                      np.asarray(fr.data))
     finally:
         beam_kernel._launch.clear_cache()
 
 
 def test_depth1_bit_exact_nonsquare():
-    """W != H films use stacked Morton squares (beam_kernel Morton
-    decode); exercise that path end-to-end, not just the permutation."""
+    """W != H films span multiple Morton squares per row and column;
+    exercise the square decode end-to-end, not just the permutation."""
     cam, scene = pt.cornell_box(res=(32, 64))
     fb = beam_kernel.render_film_beam(cam, scene, samples=1, depth=1,
                                       seed=4, interpret=True)
@@ -157,10 +172,60 @@ def test_depth1_bit_exact_nonsquare():
     np.testing.assert_array_equal(np.asarray(fb.data), np.asarray(fr.data))
 
 
-def test_beam_rejects_incompatible_shapes():
-    cam, scene = pt.cornell_box(res=(48, 48))
-    with pytest.raises(ValueError, match="power-of-two"):
-        beam_kernel.render_film_beam(cam, scene, samples=1, interpret=True)
-    cam2, _ = pt.cornell_box(res=(64, 96))
-    with pytest.raises(ValueError, match="multiple"):
-        beam_kernel.render_film_beam(cam2, scene, samples=1, interpret=True)
+def test_depth1_bit_exact_arbitrary_shapes():
+    """Any resolution renders via 64x64-square padding + host crop (the
+    round-3 power-of-two/multiple-of-width cliffs are gone)."""
+    for res in ((48, 48), (64, 96), (200, 72), (33, 65)):
+        cam, scene = pt.cornell_box(res=res)
+        fb = beam_kernel.render_film_beam(cam, scene, samples=1, depth=1,
+                                          seed=4, interpret=True)
+        fr = pt.render_film(cam, scene, samples=1, depth=1, seed=4,
+                            backend="brute")
+        np.testing.assert_array_equal(np.asarray(fb.data),
+                                      np.asarray(fr.data),
+                                      err_msg=f"res={res}")
+
+
+def test_garden_accel_invariants():
+    """The ~100k-tri mesh_garden class builds a valid beam accel (auto
+    supercluster sizing keeps S <= 126; positional chunking has no
+    cluster-count cap).  grid=2 keeps the host build in test budget."""
+    cam, sb = meshes.mesh_garden(grid=2)
+    scene = sb.build()
+    acc = build_beam_accel(scene)
+    assert acc.num_superclusters <= beam_kernel.MAX_BEAM_SC
+    tid = np.asarray(acc.tid_map)
+    real = tid[tid >= 0]
+    assert sorted(real.tolist()) == list(range(scene.num_tris))
+    scf = np.asarray(acc.sc_first)
+    scn = np.asarray(acc.sc_ncl)
+    assert scf[0] == 0 and scf[-1] + scn[-1] == acc.num_clusters
+    assert np.all(scf[1:] == scf[:-1] + scn[:-1])
+
+
+def test_many_materials_inline_bit_exact():
+    """Scenes with more than 64 unique materials switch to inline
+    per-triangle materials (clusters.py) — the old hard cap is gone, and
+    the inline engine path stays bit-exact at depth 1."""
+    from pathtracer_tpu.scene import Diffuse, Emit, SceneBuilder
+    sb = SceneBuilder()
+    s = 100.0
+    sb.add_quad(((s, s - 1, 30), (s, s - 1, 70), (0, s - 1, 70),
+                 (0, s - 1, 30)), Emit(1))
+    for i in range(70):
+        x = (i % 10) * 10.0
+        z = (i // 10) * 12.0 + 5.0
+        sb.add_quad(((x, 0, z), (x + 9, 0, z), (x + 9, 0, z + 10),
+                     (x, 0, z + 10)), Diffuse(0.1 + 0.012 * i, 0.5, 0.9))
+    scene = sb.build()
+    acc = build_beam_accel(scene)
+    assert acc.mats_inline
+    from pathtracer_tpu.camera import make_camera
+    from pathtracer_tpu.linalg import DEG2RAD
+    cam = make_camera((50, 60, -60), (0, -0.5, 1), (0, 1, 0), (32, 32),
+                      70 * DEG2RAD, 1.0)
+    fb = beam_kernel.render_film_beam(cam, scene, samples=2, depth=1,
+                                      seed=3, accel=acc, interpret=True)
+    fr = pt.render_film(cam, scene, samples=2, depth=1, seed=3,
+                        backend="brute")
+    np.testing.assert_array_equal(np.asarray(fb.data), np.asarray(fr.data))

@@ -43,3 +43,22 @@ def test_sphere_in_box_renders_with_bvh():
     assert img.max() > 0.2  # the light is visible
     # sphere silhouette: center pixels darker than light but lit
     assert img[8:16, 8:16].mean() > 0.001
+
+
+def test_mesh_garden_scale():
+    # the ~100k-tri stress scene (BASELINE config 4 upper end); the fast
+    # grid=2 variant keeps the host-side build in test budget
+    cam, sb = meshes.mesh_garden(grid=2)
+    scene = sb.build()
+    assert scene.num_tris > 4000
+    # default tessellation lands in the ~100k class: count without build
+    full_tris = 14 + 0  # room quads
+    # count by generator arithmetic: sphere 2*n_lat*n_lon - 2*n_lon,
+    # torus 2*n_major*n_minor, on a 7x7 alternating grid
+    n_lat, n_lon = 22, 48
+    sph = 2 * n_lat * n_lon - 2 * n_lon
+    tor = 2 * n_lon * (n_lat + 2)
+    n_s = sum(1 for i in range(7) for j in range(7) if (i + j) % 2 == 0)
+    n_t = 49 - n_s
+    full_tris = 14 + n_s * sph + n_t * tor
+    assert 90_000 <= full_tris <= 120_000

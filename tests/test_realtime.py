@@ -98,9 +98,10 @@ def test_realtime_auto_picks_beam_for_big_scenes(monkeypatch):
     assert rt._pick_backend(cam, scene, "cluster") == "cluster"
     cam2, small = pt.cornell_box(res=(32, 32))
     assert rt._pick_backend(cam2, small, "auto") == "auto"
-    # incompatible film shape falls back
+    # odd film shapes route through beam too since round 4 (the kernel
+    # pads to the 64x64 Morton-square grid and crops on host)
     cam3 = dataclasses.replace(cam, res=(48, 48))
-    assert rt._pick_backend(cam3, scene, "auto") == "auto"
+    assert rt._pick_backend(cam3, scene, "auto") == "beam"
 
 
 def test_ansi_frame_renders_halfblocks():
