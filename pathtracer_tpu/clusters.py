@@ -261,7 +261,7 @@ def build_beam_accel(
     clusters through positional bit-plane chunks)."""
     from . import materials as mat
 
-    assert ctris % PACK_PAD == 0
+    assert ctris % 4 == 0 and (ctris % PACK_PAD == 0 or ctris == 4)
     if bvh is None:
         bvh = build_bvh(scene)
     host = getattr(bvh, "_host", None)

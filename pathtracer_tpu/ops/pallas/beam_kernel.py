@@ -75,7 +75,10 @@ from ...clusters import BeamAccel, build_beam_accel
 
 LANES = 128
 BLOCK = 8                     # triangles per unrolled block
-DEFAULT_TILE_ROWS = 32        # rays per tile = tile_rows * 128
+DEFAULT_TILE_ROWS = 16        # rays per tile = tile_rows * 128 (swept
+                              # round 4: 16 beats 32 by ~3-5% and wins
+                              # bigger under chip contention; union 292
+                              # vs 532 tests/seg at ctris=8)
 BITROWS = 16                  # bit-plane sublanes: capacity BITROWS*128
 CHUNK_CAP = BITROWS * LANES   # positional slots per cluster chunk (2048)
 MAX_BEAM_SC = 126             # supercluster ids fit one bit-plane column
@@ -331,7 +334,8 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             # instead of fori carries: 5-8 quantities x 4 vregs of carry
             # would pressure the register allocator into spilling inside
             # the hot loop, and ref round-trips per 8-tri block are cheap.
-            bpc = ctris // BLOCK  # blocks per cluster (static)
+            blk = min(BLOCK, ctris)   # tris per engine block (static)
+            bpc = ctris // blk        # blocks per cluster (static)
             best_ref[0] = best_t0
             best_ref[1] = jnp.full(shape, -1.0, jnp.float32)
             for i in range(2, nbest):
@@ -346,10 +350,10 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                 for half in range(2):
                     bi = pi * 2 + half
                     c = runs_ref[bi // bpc]
-                    bases.append(c * ctris + (bi % bpc) * BLOCK)
+                    bases.append(c * ctris + (bi % bpc) * blk)
                 st = [best_ref[i] for i in range(nbest)]
                 for base in bases:
-                    for j in range(BLOCK):
+                    for j in range(blk):
                         slot = base + j
                         v1x = tris_ref[slot, 0]
                         v1y = tris_ref[slot, 1]
