@@ -57,11 +57,26 @@ def to_materials(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 
 
 def init_params(scene: Scene, value: float = 0.5) -> Dict[str, jnp.ndarray]:
-    """Uniform 'grey' starting point with the scene's array shapes."""
+    """Uniform 'grey' starting point with the scene's array shapes.
+
+    Emission starts grey only on EMIT-type surfaces and ~zero elsewhere:
+    material TYPES are structural scene knowledge (the reference scene
+    format declares which surfaces are lights, material.h:27-39) — it is
+    the continuous VALUES that are unknown.  Without this, the optimizer
+    finds the emission-albedo degeneracy: a little emission painted on
+    every wall explains the image as well as reflected light does, and
+    albedos collapse (round-3 artifact: 0.36 mean albedo error at
+    converged loss)."""
     T = scene.padded_size
+    mtype, _, _, _ = scene.host_materials()
+    from . import materials as mat
+    is_emit = jnp.zeros((T, 1)).at[: scene.num_tris, 0].set(
+        jnp.asarray(mtype == mat.EMIT, jnp.float32))
+    e0 = _softplus_inv(jnp.float32(value))
+    e_dark = _softplus_inv(jnp.float32(1e-6))
     return {
         "albedo": jnp.zeros((T, 3)) + _logit(jnp.float32(value)),
-        "emit": jnp.zeros((T, 3)) + _softplus_inv(jnp.float32(value)),
+        "emit": jnp.zeros((T, 3)) + jnp.where(is_emit > 0, e0, e_dark),
         "roughness": jnp.zeros((T,)) + _logit(jnp.float32(value)),
     }
 
@@ -75,19 +90,44 @@ def recover_materials(
     samples: int = 8,
     depth: int = 5,
     lr: float = 5e-2,
+    lr_end: Optional[float] = None,
     seed: int = prng.SEED,
     params0: Optional[Dict[str, jnp.ndarray]] = None,
     optimize: tuple = ("albedo", "emit", "roughness"),
     checkpoint: Optional[str] = None,
     checkpoint_every: int = 25,
     backend: str = "brute",
+    loss: str = "paired",
+    rel_eps: float = 2e-2,
     verbose: bool = False,
 ):
     """Gradient-descend material parameters to match ``target`` (linear film).
 
     ``optimize`` selects which parameter groups move; the rest stay frozen
-    at their initial values (useful to break the emission-vs-albedo
-    ambiguity when only albedo is unknown).
+    at their initial values.  Within a group, updates are further masked
+    by material TYPE (structural scene knowledge): emission moves only on
+    EMIT surfaces, roughness only on SPECULAR ones, albedo only on
+    non-EMIT ones — this is what breaks the emission-vs-albedo
+    degeneracy that round 3's recovery fell into.
+
+    ``lr_end``: if set, the learning rate cosine-decays from ``lr`` to
+    ``lr_end`` over ``steps`` — the Monte-Carlo gradient noise floor
+    shrinks with the step size, so decay turns the terminal wander into
+    convergence.
+
+    ``loss``: "paired" (default) is the UNBIASED squared-error surrogate
+    mean(w * (film_A - target) * (film_B - target)) over two independent
+    half-sample renders, with relative weights w = 1/(target+rel_eps)^2.
+    Any loss nonlinear in the noisy film estimate — "mse", "relative",
+    "sqrt" (kept for ablation) — pays E[(f-t)^2] = (Ef-t)^2 + Var(f),
+    and darker materials mean shorter, lower-variance paths, so those
+    objectives systematically DARKEN the recovery (they plateau at
+    0.20-0.36 visible-albedo error on the Cornell box no matter how long
+    they run — the round-3 artifact).  The paired product's expectation
+    is exactly (Ef-t)^2: with it the same budget reaches < 0.05.
+    The relative weighting matters too: linear radiance spans orders of
+    magnitude and plain MSE under-weights dark pixels (measured 44%-dark
+    convergence).
 
     ``checkpoint``: path to a .npz resume file; if present, training
     resumes at the recorded step (params + Adam state restored — each step
@@ -105,17 +145,38 @@ def recover_materials(
     from .diff import make_accel
     from .utils import checkpoint as ckpt
 
+    from . import materials as mat_mod
+
     accel = make_accel(scene, backend)
-    opt = optax.adam(lr)
+    if lr_end is not None:
+        sched = optax.cosine_decay_schedule(lr, max(steps, 1),
+                                            alpha=lr_end / lr)
+        opt = optax.adam(sched)
+    else:
+        opt = optax.adam(lr)
     params = params0 if params0 is not None else init_params(scene)
     opt_state = opt.init(params)
     frozen = {k: (0.0 if k in optimize else 1.0) for k in params}
+    # per-row type masks (1.0 where the parameter is physically active)
+    T = scene.padded_size
+    mtype = scene.host_materials()[0]
+    row = {
+        "albedo": np.asarray(mtype != mat_mod.EMIT, np.float32),
+        "emit": np.asarray(mtype == mat_mod.EMIT, np.float32),
+        "roughness": np.asarray(mtype == mat_mod.SPECULAR, np.float32),
+    }
+    type_mask = {}
+    for k, r in row.items():
+        full = np.zeros(T, np.float32)
+        full[: scene.num_tris] = r
+        m = jnp.asarray(full)
+        type_mask[k] = m if params[k].ndim == 1 else m[:, None]
 
     # Resuming with a different backend (or scene) would silently continue
     # with a different gradient estimator; record both and abort on
     # mismatch, like render_film's checkpoint meta validation.
     meta = {"samples": samples, "depth": depth, "seed": seed,
-            "backend": backend,
+            "backend": backend, "loss": loss,
             "scene_sum": float(scene.host_verts()[0].sum()
                                + scene.host_materials()[1].sum())}
     start_step = 0
@@ -132,18 +193,53 @@ def recover_materials(
             if verbose:
                 print(f"Resuming at step {start_step}/{steps}.")
 
+    if loss not in ("paired", "relative", "mse", "sqrt"):
+        raise ValueError(f"unknown loss {loss!r} "
+                         f"(use 'paired', 'relative', 'sqrt' or 'mse')")
+    wgt = (1.0 / (jnp.asarray(target) + rel_eps) ** 2
+           if loss in ("relative", "paired") else 1.0)
+    tgt_s = jnp.sqrt(jnp.asarray(target) + rel_eps)
+    loss_kind = loss  # the name 'loss' is re-bound inside step()
+
     @jax.jit
     def step(params, opt_state, k):
         def loss_fn(p):
+            half = max(samples // 2, 1) if loss_kind == "paired" else samples
             film = render_film_diff(
-                camera, scene, to_materials(p), samples, depth,
+                camera, scene, to_materials(p), half, depth,
                 seed=seed, sample_offset=k * samples,
                 backend=backend, accel=accel)
-            return jnp.mean((film - target) ** 2)
+            if loss_kind == "paired":
+                # Any loss NONLINEAR in the noisy film estimate is biased
+                # by its Monte-Carlo variance: E[(f - t)^2] =
+                # (E f - t)^2 + Var(f), and darker materials make shorter
+                # (lower-variance) paths, so plain MSE/relative/sqrt
+                # objectives systematically DARKEN the recovery (measured:
+                # visible-albedo error plateaus at 0.20-0.25 on the
+                # Cornell box however long you optimize).  The classic
+                # cure: two INDEPENDENT half-sample estimates A, B give
+                # E[(A - t)(B - t)] = (E f - t)^2 exactly — an unbiased
+                # surrogate for the true squared error, with an unbiased
+                # gradient.  Same cost: each half uses samples/2.
+                film_b = render_film_diff(
+                    camera, scene, to_materials(p), samples - half, depth,
+                    seed=seed, sample_offset=k * samples + half,
+                    backend=backend, accel=accel)
+                return jnp.mean(wgt * (film - target) * (film_b - target))
+            if loss_kind == "sqrt":
+                # variance-stabilizing tonemap: the MC noise of linear
+                # radiance is ~Poisson (std ~ sqrt(mean)), so sqrt-space
+                # residuals have ~uniform noise across the dynamic range
+                # (NOTE: biased by Var(film) — kept for ablation)
+                return jnp.mean(
+                    (jnp.sqrt(jnp.maximum(film, 0.0) + rel_eps)
+                     - tgt_s) ** 2)
+            return jnp.mean(wgt * (film - target) ** 2)
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(g, opt_state, params)
-        updates = {k: u * (1.0 - frozen[k]) for k, u in updates.items()}
+        updates = {k: u * (1.0 - frozen[k]) * type_mask[k]
+                   for k, u in updates.items()}
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

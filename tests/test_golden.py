@@ -31,14 +31,16 @@ def test_cornell_matches_golden_statistics():
     # Linear radiance agreement (unbiased estimator => tight)
     assert abs(ours_lin.mean() - ref_lin.mean()) / ref_lin.mean() < 0.05
 
-    # Structural agreement in gamma space after clamping.  At 128 spp the
-    # gamma-space comparison is dominated by our own Monte-Carlo noise
-    # (~18 dB here; the matched-10k-spp full-res comparison on TPU reaches
-    # ~40 dB, the independent-render noise floor) — this is a regression
-    # anchor, not the parity statement.
+    # Structural agreement in gamma space after clamping.  At this config
+    # (64^2, 128 spp, 16x-downsampled golden) the comparison measures
+    # 22.3-22.5 dB across seeds — our own Monte-Carlo noise floor; the
+    # matched-10k-spp full-res comparison on TPU reaches ~40 dB, the
+    # independent-render floor.  Assert the measured floor minus ~2 dB so
+    # a structural break (wrong wall, shifted light, radiometric skew)
+    # fails even when a pure noise regression would not.
     ours_g = np.clip(ours_lin, 0, 1) ** (1 / 2.2)
     p = pt.psnr(ours_g, ref_small)
-    assert p > 15.0, f"PSNR vs golden dropped to {p:.2f} dB"
+    assert p > 20.0, f"PSNR vs golden dropped to {p:.2f} dB"
 
     # The brightest region (the light) is in the same place
     oy, ox = np.unravel_index(np.argmax(ours_g.sum(-1)), (res, res))

@@ -57,7 +57,53 @@ def test_recover_emission():
     params0 = inverse.init_params(scene)
     params0["albedo"] = inverse.to_unconstrained(true_mats)["albedo"]
     mats, losses = inverse.recover_materials(
-        cam, scene, jnp.asarray(target), steps=60, samples=8, depth=3,
-        lr=8e-2, params0=params0, optimize=("emit",))
+        cam, scene, jnp.asarray(target), steps=120, samples=16, depth=3,
+        lr=8e-2, lr_end=4e-3, params0=params0, optimize=("emit",))
     got = np.asarray(mats["emit"])[2]  # the emitter triangle
     np.testing.assert_allclose(got, [1, 1, 1], atol=0.15)
+
+
+def test_recover_cornell_visible_albedos():
+    """End-to-end recovery on the Cornell box: every VISIBLE diffuse
+    albedo to < 0.15 mean abs error in a CI-sized budget (the TPU-scale
+    artifact, bench_invert.py, reaches < 0.05 at 128^2 with 1000 steps).
+    This guards the paired unbiased loss: the biased mse/relative/sqrt
+    objectives plateau at 0.20-0.36 on this exact setup however long
+    they run (round-3 regression)."""
+    import jax
+    from pathtracer_tpu import rng as prng
+    from pathtracer_tpu.camera import get_rays
+    from pathtracer_tpu.ops import intersect as isect
+    import pathtracer_tpu.materials as m
+
+    RES, DEPTH = 32, 4
+    cam, scene = pt.cornell_box(res=(RES, RES))
+    target = jnp.asarray(np.asarray(pt.render_film(
+        cam, scene, samples=2048, depth=DEPTH, backend="brute").data))
+
+    mats, losses = inverse.recover_materials(
+        cam, scene, target, steps=250, samples=64, depth=DEPTH,
+        lr=0.08, lr_end=4e-3, optimize=("albedo", "emit"))
+
+    w = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 1)
+    h = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 0)
+    st = prng.sample_seed(w[None], h[None], RES,
+                          jnp.zeros((1, 1, 1), jnp.int32), 1)
+    st, u1 = prng.rand01(st)
+    st, u2 = prng.rand01(st)
+    ro, rd = get_rays(cam, w[None], h[None], u1, u2)
+    _, tid = isect.intersect_brute(ro.reshape(-1, 3), rd.reshape(-1, 3),
+                                   scene.v1, scene.v2, scene.v3)
+    tid = np.asarray(tid)
+    counts = np.bincount(tid[tid >= 0], minlength=scene.num_tris)
+    mtype, alb_true, emit_true, _ = scene.host_materials()
+    vis = (counts >= 8) & (np.asarray(mtype) == m.DIFFUSE)
+    assert vis.sum() >= 10  # the mask must not trivialize the assert
+
+    alb = np.asarray(mats["albedo"])[: scene.num_tris]
+    err = float(np.abs(alb - alb_true)[vis].mean())
+    assert err < 0.15, f"visible-diffuse albedo error {err:.3f}"
+    # the light's brightness recovers jointly
+    emit = np.asarray(mats["emit"])[: scene.num_tris]
+    lm = np.asarray(mtype) == m.EMIT
+    assert float(np.abs(emit[lm] - emit_true[lm]).mean()) < 0.15
