@@ -100,8 +100,16 @@ def main(argv=None):
     p.add_argument("--res", type=int, default=64)
     p.add_argument("--spp", type=int, default=8)
     p.add_argument("--depth", type=int, default=5)
-    p.add_argument("--steps", type=int, default=150)
-    p.add_argument("--target-spp", type=int, default=256)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--target-spp", type=int, default=2048,
+                   help="target-image quality: the target's own noise "
+                        "floors the recovery, so it renders at high spp "
+                        "through the fast production kernels")
+    p.add_argument("--lr", type=float, default=0.08)
+    p.add_argument("--loss", default="paired",
+                   choices=["paired", "relative", "sqrt", "mse"],
+                   help="'paired' is the unbiased squared-error "
+                        "surrogate (see inverse.py)")
     p.add_argument("--checkpoint", help="resume file (.npz): created if "
                    "missing, resumed from if present")
     p.add_argument("--backend", default="auto",
@@ -155,15 +163,16 @@ def main(argv=None):
         backend = args.backend
         if backend == "auto":
             backend = "brute" if sc.padded_size <= 512 else "bvh"
-        accel = diff.make_accel(sc, backend)
         print("rendering target...")
-        target = diff.render_film_diff(
-            cam, sc, diff.material_params(sc), args.target_spp, args.depth,
-            sample_offset=1_000_000, backend=backend, accel=accel)
+        from .render import render_film
+        target = jnp.asarray(np.asarray(render_film(
+            cam, sc, samples=args.target_spp, depth=args.depth,
+            seed=101, backend="auto").data))
         print("optimizing materials...")
         mats, losses = recover_materials(
-            cam, sc, jnp.asarray(target), steps=args.steps,
+            cam, sc, target, steps=args.steps,
             samples=args.spp, depth=args.depth, backend=backend,
+            lr=args.lr, lr_end=args.lr * 0.05, loss=args.loss,
             checkpoint=args.checkpoint, verbose=True)
         true_alb = np.asarray(sc.albedo)[: sc.num_tris]
         got_alb = np.asarray(mats["albedo"])[: sc.num_tris]
