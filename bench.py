@@ -18,7 +18,7 @@ region ends with a host fetch of the film (np.asarray) — the number is
 honest end-to-end throughput including readback.  The TPU chip behind
 the axon tunnel is SHARED: a concurrent session can halve (or, as in the
 round-3 driver run, decimate) a single-run measurement.  Every metric is
-therefore the MEDIAN of BENCH_REPEATS (default 3) fetch-fenced runs with
+therefore the MEDIAN of BENCH_REPEATS (default 5) fetch-fenced runs with
 the min/max spread reported, and regressions are flagged in the output
 ("regression": true + "regression_notes") instead of raised — a bad run
 must still emit the full record (round-3 postmortem: an assert here
@@ -57,7 +57,7 @@ def _measure(render, rays, repeats=None):
     (median_rays_per_sec, spread_dict)."""
     import numpy as np
     if repeats is None:
-        repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+        repeats = max(1, int(os.environ.get("BENCH_REPEATS", "5")))
     film = render()
     np.asarray(film.data)  # compile + drain the async queue
     rates = []

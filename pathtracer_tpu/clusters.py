@@ -173,7 +173,7 @@ def build_clusters(
 BEAM_CTRIS = 8         # triangles per cluster (padded exactly to this;
                        # swept on v5e: 8 > 16 > 32 at 256-tri superclusters)
 BEAM_SC_TRIS = 256     # supercluster cut size (auto-doubled until the
-                       # supercluster count fits the kernel's 126 cap)
+                       # supercluster count fits the kernel cap)
 BEAM_BLOCK = 8         # kernel tri-block width; BEAM_CTRIS % BEAM_BLOCK == 0
 MAX_BEAM_MATERIALS = 64   # above this the builder inlines materials into
                           # the packed triangle rows (beam_kernel reads
@@ -255,7 +255,7 @@ def build_beam_accel(
 
     ``sc_tris=None`` auto-sizes the supercluster cut: starting from
     BEAM_SC_TRIS it doubles until the supercluster count fits the
-    kernel's bit-row (126) — this is what makes the structure
+    kernel's supercluster capacity (1008) — this keeps the structure
     size-unbounded (100k+ triangles) without a third hierarchy level;
     the cluster level is unbounded by construction (the kernel sweeps
     clusters through positional bit-plane chunks)."""
@@ -306,11 +306,14 @@ def build_beam_accel(
                 + split_range(ids[order[half:]], limit))
 
     # Supercluster ranges, then cluster ranges within each.  The
-    # kernel's per-octant order row holds 126 lanes, so the supercluster
-    # cut auto-coarsens until it fits (126 is MAX_BEAM_SC in beam_kernel).
+    # The supercluster cut auto-coarsens until it fits the kernel's
+    # MAX_BEAM_SC (1008 since round 4: a ~100k-tri scene keeps a fine
+    # ~256-tri first-level cut instead of coarsening to 2048-tri
+    # superclusters whose clusters flood the positional sweep).
     if sc_tris is None:
+        from .ops.pallas.beam_kernel import MAX_BEAM_SC
         sc_tris = BEAM_SC_TRIS
-        while len(cut(0, sc_tris)) > 126:
+        while len(cut(0, sc_tris)) > MAX_BEAM_SC:
             sc_tris *= 2
     sc_ranges = cut(0, sc_tris)
     sc_first, sc_ncl, sc_bounds = [], [], []

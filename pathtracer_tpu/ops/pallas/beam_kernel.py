@@ -81,15 +81,18 @@ DEFAULT_TILE_ROWS = 16        # rays per tile = tile_rows * 128 (swept
                               # vs 532 tests/seg at ctris=8)
 BITROWS = 16                  # bit-plane sublanes: capacity BITROWS*128
 CHUNK_CAP = BITROWS * LANES   # positional slots per cluster chunk (2048)
-MAX_BEAM_SC = 126             # supercluster ids fit one bit-plane column
-                              # band below the header slots
+MAX_BEAM_SC = 1008            # supercluster ids live below the header
+                              # slots (lanes 0-63 of the bit-plane);
+                              # lifted from 126 in round 4 so ~100k-tri
+                              # scenes keep a fine first-level cut
 
 _SQ = 64                      # Morton square side; one square = one tile
 _SQ_PIX = _SQ * _SQ           # 4096
 
 # The supercluster bit-plane places bit of sc id b at (b % 16, b // 16):
-# ids < 128 occupy lanes 0-7 only, far from the header lanes at 126/127.
-assert MAX_BEAM_SC <= 126
+# ids < 1016 occupy lanes 0-63, far from the header lanes at 126/127
+# (slot capacity check against the header ids is below, after they are
+# defined; the 8-aligned sc sweep may touch ids up to MAX_BEAM_SC+7).
 
 # diagnostic knobs (scratch/beam_sweep2.py): statically disable stages
 DEBUG_SKIP_RUNS = False     # skip the triangle run engine
@@ -99,9 +102,11 @@ _GOLDEN = np.uint32(0x9E3779B9)
 _INV_U24 = np.float32(1.0 / 16777216.0)
 
 # header slots inside the (16,128) supercluster bit-plane handed to the
-# scalar core (sc bits live at lanes 0-7; headers sit at the top lanes)
+# scalar core (sc bits live at lanes 0-63; headers sit at the top lanes)
 _HDR_OCT = 2047    # dominant direction octant (as float 0..7)
 _HDR_ALIVE = 2031  # alive-ray count
+assert ((MAX_BEAM_SC + 7) // 8) * 8 <= _HDR_ALIVE, \
+    "8-aligned supercluster sweep would overwrite the header slots"
 
 
 def _hash(s):
@@ -301,9 +306,16 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             # --- supercluster sweep -> bits + header -> scalar core ------
             acc = jnp.zeros((BITROWS, LANES), jnp.float32)
             if not DEBUG_SKIP_SWEEPS:
-                for g in range((n_sc + 7) // 8):   # static: S is small
-                    acc = sweep_group(scb_ref, jnp.int32(8 * g),
-                                      jnp.int32(g), best_t0, acc)
+                n_scg = (n_sc + 7) // 8
+                if n_scg <= 16:   # small scene: unroll statically
+                    for g in range(n_scg):
+                        acc = sweep_group(scb_ref, jnp.int32(8 * g),
+                                          jnp.int32(g), best_t0, acc)
+                else:             # 100k-class: dynamic loop, same body
+                    acc = jax.lax.fori_loop(
+                        0, n_scg,
+                        lambda g, a: sweep_group(scb_ref, g << 3, g,
+                                                 best_t0, a), acc)
             hdr = ((row16 == (_HDR_OCT % 16))
                    & (lane16 == (_HDR_OCT // 16)))
             acc = jnp.where(hdr, octant, acc)
