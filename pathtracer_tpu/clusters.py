@@ -172,7 +172,7 @@ def build_clusters(
 
 BEAM_CTRIS = 8         # triangles per cluster (padded exactly to this;
                        # swept on v5e: 8 > 16 > 32 at 256-tri superclusters)
-BEAM_SC_TRIS = 256     # supercluster cut size (auto-doubled until the
+BEAM_SC_TRIS = 128     # supercluster cut size (auto-doubled until the
                        # supercluster count fits the kernel cap)
 BEAM_BLOCK = 8         # kernel tri-block width; BEAM_CTRIS % BEAM_BLOCK == 0
 MAX_BEAM_MATERIALS = 64   # above this the builder inlines materials into
