@@ -10,5 +10,6 @@ material gradients reduced with ``psum`` over ICI.
 
 from .mesh import make_mesh, mesh_axes  # noqa: F401
 from .shard import (  # noqa: F401
-    render_film_sharded, make_sharded_train_step,
+    render_film_sharded, render_film_sharded_pallas,
+    make_sharded_train_step,
 )

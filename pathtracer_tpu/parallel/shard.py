@@ -39,6 +39,8 @@ from ..ops import trace as trace_ops
 from ..scene import Scene
 from .mesh import SAMPLE_AXIS, TILE_AXIS
 
+LANES_TK = 128  # trace_kernel.LANES
+
 
 def _trace_band(camera: Camera, scene: Scene, table, h0, width, band_h,
                 spp, sample0, depth, seed):
@@ -104,6 +106,73 @@ def render_film_sharded(
         return acc
 
     film = run(camera, scene) / jnp.float32(samples)
+    return Film((width, height), data=jax.device_get(film))
+
+
+def render_film_sharded_pallas(
+    mesh: Mesh,
+    camera: Camera,
+    scene: Scene,
+    samples: int,
+    depth: int = 5,
+    *,
+    seed: int = prng.SEED,
+    interpret: Optional[bool] = None,
+) -> Film:
+    """Distributed render through the PRODUCTION Pallas megakernel: every
+    device runs the fused kernel on its own disjoint global-sample window
+    (both mesh axes flatten into sample-parallelism — the per-(pixel,
+    sample) RNG streams make the windows independent by construction,
+    exactly the property block-boundary checkpointing uses), and the
+    radiance SUMS psum over ICI.  This is the headline single-chip kernel
+    scaled over the mesh, not the slow XLA oracle."""
+    from ..ops.pallas import trace_kernel as tk
+
+    width, height = camera.res
+    n_dev = mesh.devices.size
+    if samples % n_dev:
+        raise ValueError(f"samples {samples} % devices {n_dev} != 0")
+    spp_local = samples // n_dev
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # Host-side packing happens ONCE here (shard_map lifts closures into
+    # tracers, so it cannot run inside the body); only the per-device
+    # sample-window offset is traced.
+    loop = tk.DEFAULT_LOOP
+    tile_rows = tk.DEFAULT_TILE_ROWS
+    width_log2 = width.bit_length() - 1
+    n_pix = width * height
+    while n_pix % (tile_rows * LANES_TK):
+        tile_rows //= 2
+    cam_params = jnp.asarray(tk._camera_params(camera))
+    tri_params = (tk._triangle_params_plucker(scene, camera.pos)
+                  if loop == "plucker" else tk._triangle_params(scene))
+    table = tk._packed_table(scene)
+    mix = (int(seed) * 0x85EBCA6B) & 0xFFFFFFFF
+    seed_mix = mix - (1 << 32) if mix >= (1 << 31) else mix
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P()),       # packed params replicated
+        out_specs=P(),                  # film replicated after psum
+        check_vma=False,
+    )
+    def run(cam_params, tri_params, table):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        si = jax.lax.axis_index(SAMPLE_AXIS)
+        sample0 = (ti * n_sample + si) * spp_local
+        iparams = jnp.array([0, seed_mix, width_log2, height], jnp.int32)
+        iparams = iparams.at[0].set(sample0)
+        film_sum = tk._launch(
+            iparams, cam_params, tri_params, table,
+            tile_rows=tile_rows, n_tris=scene.num_tris, depth=depth,
+            spp=spp_local, has_specular=scene.has_specular,
+            width=width, height=height, interpret=interpret, loop=loop)
+        return jax.lax.psum(film_sum, (TILE_AXIS, SAMPLE_AXIS))
+
+    film = run(cam_params, tri_params, table) / jnp.float32(samples)
     return Film((width, height), data=jax.device_get(film))
 
 
