@@ -3,13 +3,17 @@
 framework's flagship addition over the reference (which has no
 differentiable path at all).
 
-Two workloads, both on one TPU chip:
+Three workloads, all on one TPU chip:
   * cornell  — recover every visible diffuse albedo AND the light's
     emission of the Cornell box from a clean rendered target.
     Acceptance: mean abs albedo error over VISIBLE diffuse triangles
     < 0.05 (round-4 bar; round 3 plateaued at 0.36).
   * sphere   — the 9.8k-triangle sphere-in-box scene through the Pallas
     cluster backend.  Acceptance: visible-diffuse error < 0.1.
+  * rough    — recover the specular walls' roughness of the modified
+    Cornell (true 0.3, grey 0.5 start) via common-random-number SPSA
+    (the pathwise roughness gradient is boundary-dominated and measured
+    wrong-signed, diff.py).  Acceptance: mean error < 0.1.
 
 Method notes (see inverse.py for the full story): the optimizer uses the
 PAIRED unbiased squared-error surrogate — losses nonlinear in the noisy
@@ -157,6 +161,41 @@ def main():
         "res": RES2, "spp": spp2, "depth": DEPTH2, "steps": steps2,
         "seconds_per_step": wall2 / steps2, "backend": "cluster",
         "loss_first": float(losses2[0]), "loss_last": float(losses2[-1]),
+    })
+
+    # --- 3. roughness recovery on the specular modified Cornell -------
+    RES3, DEPTH3 = 64, 5
+    steps3 = int(os.environ.get("INVERT_ROUGH_STEPS", "400"))
+    spp3 = int(os.environ.get("INVERT_ROUGH_SPP", "128"))
+    cam3, scene3 = pt.modified_cornell(0.3, res=(RES3, RES3))
+    target3 = jnp.asarray(np.asarray(pt.render_film(
+        cam3, scene3, samples=16384, depth=DEPTH3,
+        backend="pallas").data))
+    true_p = inverse.to_unconstrained(diff.material_params(scene3))
+    p0 = inverse.init_params(scene3)
+    p0["albedo"] = true_p["albedo"]
+    p0["emit"] = true_p["emit"]
+    t0 = time.perf_counter()
+    mats3, losses3 = inverse.recover_materials(
+        cam3, scene3, target3, steps=steps3, samples=spp3, depth=DEPTH3,
+        lr=0.08, lr_end=4e-3, params0=p0, backend="brute",
+        optimize=("roughness",), verbose=False)
+    wall3 = time.perf_counter() - t0
+    mtype3, _, _, rough_true3 = scene3.host_materials()
+    spec3 = np.asarray(mtype3) == m.SPECULAR
+    _, counts3 = _visible_diffuse_mask(cam3, scene3, RES3)
+    r3 = np.asarray(mats3["roughness"])[: scene3.num_tris]
+    e3 = np.abs(r3 - np.asarray(rough_true3))
+    w3 = counts3 * spec3
+    err3 = float((e3 * w3).sum() / max(w3.sum(), 1))
+    results.append({
+        "metric": "invert_roughness_spsa_pixel_weighted_err",
+        "value": err3,
+        "unit": "mean_abs_error", "recovered": err3 < 0.1,
+        "true_roughness": 0.3, "start": 0.5,
+        "res": RES3, "spp": spp3, "depth": DEPTH3, "steps": steps3,
+        "seconds_per_step": wall3 / steps3,
+        "loss_first": float(losses3[0]), "loss_last": float(losses3[-1]),
     })
 
     head = dict(results[0])

@@ -16,8 +16,15 @@ Estimator design — *detached sampling with reparameterized speculars*:
   - **roughness**: enters through the specular jitter
     ``normalize(mirror + (u - 0.5) * roughness)`` (material.h:15-25), which
     is smooth in roughness for fixed uniforms — the reparameterization
-    trick.  The rejection loop's accept/reject flips are measure-zero
-    discontinuities, ignored as usual.
+    trick.  CAVEAT (measured, round 4): this pathwise derivative captures
+    only the within-surface radiance variation; in Cornell-class scenes
+    the roughness dependence is BOUNDARY-DOMINATED (which wall does the
+    blurred reflection hit), so the pathwise gradient is ~200x smaller
+    than the expected-loss slope and wrong-signed, and the naive score
+    -function fix is invalid too (the cube support moves with roughness).
+    The inverse optimizer therefore uses common-random-number SPSA for
+    the roughness coordinates (inverse.py) — this estimator is kept for
+    gradcheck parity of the smooth piece, not for roughness recovery.
   - geometry terms (hit ids, normals) are discrete/constant; visibility
     -boundary terms are ignored (standard for interior-lit scenes).
 

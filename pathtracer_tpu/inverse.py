@@ -200,6 +200,21 @@ def recover_materials(
            if loss in ("relative", "paired") else 1.0)
     tgt_s = jnp.sqrt(jnp.asarray(target) + rel_eps)
     loss_kind = loss  # the name 'loss' is re-bound inside step()
+    # Roughness gradients are BOUNDARY-DOMINATED: radiance depends on
+    # roughness mainly through WHICH surface the blurred reflection hits,
+    # a discrete function the pathwise (reparameterized) derivative
+    # cannot see.  Measured on the modified Cornell at rough=0.5: the
+    # pathwise gradient is wrong-signed and ~200x smaller than the
+    # finite-difference slope of the expected loss (and the naive score
+    # -function/REINFORCE fix is INVALID for the uniform-cube jitter —
+    # its support moves with roughness, which drops exactly the boundary
+    # term; measured equally wrong-signed).  The expected paired loss IS
+    # smooth and sharply minimized at the truth (scanned), so roughness
+    # coordinates use two-point SPSA with common random numbers instead:
+    # unbiased for the smoothed landscape, and the shared sample window
+    # cancels the Monte-Carlo noise in the difference.
+    rough_spsa = "roughness" in optimize and scene.has_specular
+    spsa_eps = 0.15  # logit-space perturbation (~0.04 at rough 0.5)
 
     @jax.jit
     def step(params, opt_state, k):
@@ -237,6 +252,19 @@ def recover_materials(
             return jnp.mean(wgt * (film - target) ** 2)
 
         loss, g = jax.value_and_grad(loss_fn)(params)
+        if rough_spsa:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(seed ^ 0x5B57A), k)
+            delta = jnp.where(
+                jax.random.bernoulli(key, 0.5,
+                                     params["roughness"].shape),
+                1.0, -1.0) * type_mask["roughness"]
+            pp = {**params, "roughness": params["roughness"]
+                  + spsa_eps * delta}
+            pm = {**params, "roughness": params["roughness"]
+                  - spsa_eps * delta}
+            g_r = (loss_fn(pp) - loss_fn(pm)) / (2.0 * spsa_eps) * delta
+            g = {**g, "roughness": g_r}
         updates, opt_state = opt.update(g, opt_state, params)
         updates = {k: u * (1.0 - frozen[k]) * type_mask[k]
                    for k, u in updates.items()}

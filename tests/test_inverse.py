@@ -107,3 +107,52 @@ def test_recover_cornell_visible_albedos():
     emit = np.asarray(mats["emit"])[: scene.num_tris]
     lm = np.asarray(mtype) == m.EMIT
     assert float(np.abs(emit[lm] - emit_true[lm]).mean()) < 0.15
+
+
+def test_recover_roughness_spsa():
+    """Roughness recovery via common-random-number SPSA: the pathwise
+    roughness gradient is boundary-dominated and measured wrong-signed
+    (diff.py docstring), so recover_materials switches the roughness
+    coordinates to a two-point SPSA estimate.  Grey start (0.5) must
+    close most of the 0.2 gap to the true 0.3 on the VISIBLE walls —
+    pixel-weighted, since at 32^2 the barely-seen wall triangles carry
+    no signal; a do-nothing optimizer scores exactly 0.2 here, so the
+    assert proves real recovery (measured 0.104 at this budget)."""
+    import jax
+    from pathtracer_tpu import rng as prng
+    from pathtracer_tpu.camera import get_rays
+    from pathtracer_tpu.ops import intersect as isect
+    import pathtracer_tpu.materials as m
+
+    RES, DEPTH = 32, 4
+    cam, scene = pt.modified_cornell(0.3, res=(RES, RES))
+    target = jnp.asarray(np.asarray(pt.render_film(
+        cam, scene, samples=2048, depth=DEPTH, backend="brute").data))
+    true_p = inverse.to_unconstrained(diff.material_params(scene))
+    p0 = inverse.init_params(scene)
+    p0["albedo"] = true_p["albedo"]
+    p0["emit"] = true_p["emit"]
+    mats, _ = inverse.recover_materials(
+        cam, scene, target, steps=150, samples=48, depth=DEPTH,
+        lr=0.08, lr_end=4e-3, params0=p0, optimize=("roughness",))
+    mtype, _, _, rough_true = scene.host_materials()
+    spec = np.asarray(mtype) == m.SPECULAR
+    assert spec.sum() >= 10
+
+    w = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 1)
+    h = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 0)
+    st = prng.sample_seed(w[None], h[None], RES,
+                          jnp.zeros((1, 1, 1), jnp.int32), 1)
+    st, u1 = prng.rand01(st)
+    st, u2 = prng.rand01(st)
+    ro, rd = get_rays(cam, w[None], h[None], u1, u2)
+    _, tid = isect.intersect_brute(ro.reshape(-1, 3), rd.reshape(-1, 3),
+                                   scene.v1, scene.v2, scene.v3)
+    tid = np.asarray(tid)
+    counts = np.bincount(tid[tid >= 0], minlength=scene.num_tris)
+    wgt = counts * spec
+    r = np.asarray(mats["roughness"])[: scene.num_tris]
+    err = np.abs(r - np.asarray(rough_true))
+    werr = float((err * wgt).sum() / max(wgt.sum(), 1))
+    assert werr < 0.15, (
+        f"pixel-weighted roughness error {werr:.3f} (do-nothing = 0.20)")
