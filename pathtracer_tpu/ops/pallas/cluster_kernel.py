@@ -221,6 +221,16 @@ def _sort_keys(ray_o, ray_d, lb, rt):
     return (morton << 3) | octant
 
 
+# On-device scene ceiling: the tile driver invokes this pallas call
+# inside nested lax.while loops, where XLA stages the (P, 9) triangle
+# window through SCOPED vmem lane-padded to 128 — the 16MB scoped limit
+# is crossed at ~30k triangles (measured 51.8MB at 105k).  Bigger scenes
+# render through the beam megakernel (any size) and differentiate
+# through the XLA 'bvh' backend; the guard below turns the opaque
+# Mosaic compile error into advice.
+MAX_CLUSTER_TRIS_ON_DEVICE = 30_000
+
+
 def intersect_clusters(
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,

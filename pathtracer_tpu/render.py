@@ -174,10 +174,13 @@ def _auto_backend(camera: Camera, scene: Scene,
         except ValueError as e:
             reason = str(e)
         import warnings
+        from .ops.pallas.cluster_kernel import MAX_CLUSTER_TRIS_ON_DEVICE
+        fb = ("cluster" if scene.num_tris <= MAX_CLUSTER_TRIS_ON_DEVICE
+              else "bvh")  # cluster's on-device scoped-vmem ceiling
         warnings.warn(
             f"auto backend: falling back from the beam megakernel to the "
-            f"~6.7x-slower cluster path: {reason}", stacklevel=2)
-        return "cluster"
+            f"slower {fb!r} path: {reason}", stacklevel=2)
+        return fb
     from .ops.pallas.trace_kernel import MAX_PALLAS_TRIS
     if (_on_tpu() and scene.num_tris <= MAX_PALLAS_TRIS
             and width & (width - 1) == 0):
@@ -282,6 +285,14 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
         stack_size = accel.stack_size()
     elif backend == "cluster":
         from .clusters import ClusterSet, build_clusters
+        from .ops.pallas.cluster_kernel import MAX_CLUSTER_TRIS_ON_DEVICE
+        if _on_tpu() and scene.num_tris > MAX_CLUSTER_TRIS_ON_DEVICE:
+            raise ValueError(
+                f"backend='cluster' supports <= "
+                f"{MAX_CLUSTER_TRIS_ON_DEVICE} triangles on device (the "
+                f"tile driver stages the triangle window through the "
+                f"16MB scoped-vmem budget; got {scene.num_tris}).  Use "
+                f"backend='beam' (renders any size) or 'bvh'.")
         if not isinstance(accel, ClusterSet):
             accel = build_clusters(scene, bvh=accel)
         interpret = not _on_tpu()  # Pallas interpreter on CPU (tests)
