@@ -125,15 +125,17 @@ def main():
             f"suspect chip contention if spread is large)")
 
     # 1b. The reference's EXACT headline workload: 1024^2, 10,000 spp,
-    # depth 5 (112 s on its GPU, README.md:25-29).  One timed run — at
-    # ~19 s each, repeats would blow the bench budget; the spp-amortized
-    # number is also the least contention- and readback-sensitive metric
-    # in this file (fetch share ~4%).
+    # depth 5 (112 s on its GPU, README.md:25-29).  Median of 3 (round-4
+    # verdict: this is the README's first table row; ~40 extra seconds
+    # per round buys spread data on the one metric that was previously a
+    # single timed run).  It is also the least contention- and readback
+    # -sensitive metric in this file (fetch share ~4%).
     if os.environ.get("BENCH_REFCONFIG", "1") == "1":
         rps_ref, sp_ref = _measure(
             lambda: pt.render_film(cam, scene, samples=10000, depth=depth,
                                    backend="pallas"),
-            1024 * 1024 * 10000 * depth, repeats=1)
+            1024 * 1024 * 10000 * depth,
+            repeats=int(os.environ.get("BENCH_REFCONFIG_REPEATS", "3")))
         results.append({
             "metric": "rays_per_sec_cornell1024_refconfig_10000spp",
             "value": rps_ref, "unit": "rays/s",
@@ -141,7 +143,7 @@ def main():
             "seconds": 5.24288e9 * 10 / rps_ref,
             "reference_seconds": 112.0,
             "vpu_util": rps_ref * flops_seg / VPU_PEAK_FLOPS,
-            "vpu_util_note": "see the cornell1024 entry",
+            "vpu_util_note": "see the cornell1024 entry", "timing": sp_ref,
         })
 
     # 2. Specular modified Cornell (roughness 0.05 column of the sweep).

@@ -3,7 +3,7 @@
 framework's flagship addition over the reference (which has no
 differentiable path at all).
 
-Three workloads, all on one TPU chip:
+Five workloads, all on one TPU chip:
   * cornell  — recover every visible diffuse albedo AND the light's
     emission of the Cornell box from a clean rendered target.
     Acceptance: mean abs albedo error over VISIBLE diffuse triangles
@@ -14,6 +14,14 @@ Three workloads, all on one TPU chip:
     Cornell (true 0.3, grey 0.5 start) via common-random-number SPSA
     (the pathwise roughness gradient is boundary-dominated and measured
     wrong-signed, diff.py).  Acceptance: mean error < 0.1.
+  * joint    — albedo + emission + roughness recovered TOGETHER from
+    grey starts on the modified Cornell (round-4 verdict item 5: the
+    honest flagship configuration).  Acceptance: visible-albedo < 0.1
+    AND pixel-weighted roughness < 0.15.
+  * garden   — the 105k-triangle scene through the UNROLLED cluster
+    differentiable path (round-4 verdict item 4: the 30k scoped-vmem
+    ceiling is gone).  Reports measured seconds/step and a finite
+    -difference gradcheck through the new path.
 
 Method notes (see inverse.py for the full story): the optimizer uses the
 PAIRED unbiased squared-error surrogate — losses nonlinear in the noisy
@@ -23,7 +31,7 @@ only on EMIT surfaces), and cosine lr decay.  Targets are rendered at
 high spp by the production kernels (pallas megakernel / beam), then the
 recovery trains against them with the brute/cluster differentiable path.
 
-Prints ONE JSON line; writes INVERT_r04.json when run from the repo root.
+Prints ONE JSON line; writes INVERT_r05.json when run from the repo root.
 """
 
 import json
@@ -123,7 +131,7 @@ def main():
     })
     print(json.dumps(results[-1]), flush=True)
     if os.path.exists("bench_invert.py"):
-        with open("INVERT_r04.json", "w") as f:
+        with open("INVERT_r05.json", "w") as f:
             json.dump({"workloads": results}, f, indent=1)
 
     # --- 2. 9.8k-tri sphere scene via the cluster backend -------------
@@ -198,11 +206,114 @@ def main():
         "loss_first": float(losses3[0]), "loss_last": float(losses3[-1]),
     })
 
+    # --- 4. JOINT albedo + emission + roughness (round-4 verdict 5) ----
+    # The honest flagship configuration: every parameter group moves at
+    # once from grey starts; albedo/emission via the paired unbiased
+    # loss, roughness via common-random-number SPSA, type masks keeping
+    # the degeneracies structural (inverse.py).
+    RES4, DEPTH4 = 64, 5
+    steps4 = int(os.environ.get("INVERT_JOINT_STEPS", "800"))
+    spp4 = int(os.environ.get("INVERT_JOINT_SPP", "192"))
+    cam4, scene4 = pt.modified_cornell(0.3, res=(RES4, RES4))
+    target4 = jnp.asarray(np.asarray(pt.render_film(
+        cam4, scene4, samples=32768, depth=DEPTH4,
+        backend="pallas").data))
+    t0 = time.perf_counter()
+    p0 = None
+    losses4 = []
+    seg4 = max(steps4 // 4, 1)
+    for seg_spp in (spp4 // 2, spp4 // 2, spp4, spp4):
+        mats4, ls4 = inverse.recover_materials(
+            cam4, scene4, target4, steps=seg4, samples=seg_spp,
+            depth=DEPTH4, lr=0.08, lr_end=4e-3, backend="brute",
+            params0=p0, optimize=("albedo", "emit", "roughness"),
+            verbose=False)
+        p0 = inverse.to_unconstrained(mats4)
+        losses4.extend(ls4.tolist())
+    wall4 = time.perf_counter() - t0
+    mtype4, alb_true4, emit_true4, rough_true4 = scene4.host_materials()
+    _, counts4 = _visible_diffuse_mask(cam4, scene4, RES4)
+    alb4 = np.asarray(mats4["albedo"])[: scene4.num_tris]
+    # visible-surface albedo error over NON-EMIT rows (specular walls'
+    # albedo is live here too), pixel-weighted like workload 2
+    w_alb = counts4 * (np.asarray(mtype4) != m.EMIT)
+    e_alb = np.abs(alb4 - alb_true4).mean(axis=1)
+    err4_alb = float((e_alb * w_alb).sum() / max(w_alb.sum(), 1))
+    r4 = np.asarray(mats4["roughness"])[: scene4.num_tris]
+    w_r = counts4 * (np.asarray(mtype4) == m.SPECULAR)
+    err4_rough = float((np.abs(r4 - np.asarray(rough_true4)) * w_r).sum()
+                       / max(w_r.sum(), 1))
+    emit4 = np.asarray(mats4["emit"])[: scene4.num_tris]
+    err4_emit = float(np.abs(
+        emit4[np.asarray(mtype4) == m.EMIT]
+        - emit_true4[np.asarray(mtype4) == m.EMIT]).mean())
+    results.append({
+        "metric": "invert_joint_albedo_emit_roughness",
+        "value": err4_alb, "unit": "mean_abs_error",
+        "albedo_err_pixel_weighted": err4_alb,
+        "roughness_err_pixel_weighted": err4_rough,
+        "emit_err": err4_emit,
+        "recovered": err4_alb < 0.1 and err4_rough < 0.15,
+        "bars": {"albedo": 0.1, "roughness": 0.15},
+        "res": RES4, "spp": spp4, "depth": DEPTH4, "steps": steps4,
+        "seconds_per_step": wall4 / steps4,
+        "loss_first": float(losses4[0]), "loss_last": float(losses4[-1]),
+    })
+    print(json.dumps(results[-1]), flush=True)
+
+    # --- 5. 105k-tri garden through the UNROLLED cluster diff path -----
+    # Round-4 verdict item 4: the differentiable path no longer stops at
+    # the 30k scoped-vmem ceiling (trace_rays unroll, diff.py).  Measures
+    # a real recovery (visible albedo from a beam-rendered target) plus a
+    # finite-difference gradcheck THROUGH the 105k cluster kernel.
+    RES5, DEPTH5 = 64, 4
+    steps5 = int(os.environ.get("INVERT_GARDEN_STEPS", "300"))
+    spp5 = int(os.environ.get("INVERT_GARDEN_SPP", "8"))
+    cam5, gsb5 = meshes.mesh_garden()
+    scene5 = gsb5.build()
+    cam5 = dataclasses.replace(cam5, res=(RES5, RES5))
+    target5 = jnp.asarray(np.asarray(pt.render_film(
+        cam5, scene5, samples=8192, depth=DEPTH5, backend="beam").data))
+    _, counts5 = _visible_diffuse_mask(cam5, scene5, RES5)
+
+    accel5 = diff.make_accel(scene5, "cluster")
+    gc_loss = diff.make_loss(cam5, scene5, target5, samples=2,
+                             depth=3, backend="cluster")
+    import jax as _jax
+    _, g5 = _jax.value_and_grad(gc_loss)(diff.material_params(scene5))
+    # probe the largest-gradient albedo coordinates: a near-zero
+    # coordinate's FD signal is below the f32 resolution of the loss
+    ga5 = np.abs(np.asarray(g5["albedo"])).ravel()
+    probe = [("albedo", int(i)) for i in np.argsort(ga5)[-2:]]
+    gc_abs, gc_rel = diff.gradcheck(
+        gc_loss, diff.material_params(scene5), eps=2e-2, indices=probe,
+        mode="one_sided")
+
+    t0 = time.perf_counter()
+    mats5, losses5 = inverse.recover_materials(
+        cam5, scene5, target5, steps=steps5, samples=spp5, depth=DEPTH5,
+        lr=0.08, lr_end=8e-3, backend="cluster",
+        optimize=("albedo",), verbose=False)
+    wall5 = time.perf_counter() - t0
+    mtype5, alb_true5, _, _ = scene5.host_materials()
+    alb5 = np.asarray(mats5["albedo"])[: scene5.num_tris]
+    err5 = _pixel_weighted_err(alb5, alb_true5, counts5, mtype5)
+    results.append({
+        "metric": "invert_garden105k_pixel_weighted_albedo_err",
+        "value": err5, "unit": "mean_abs_error",
+        "recovered": err5 < 0.15, "tris": int(scene5.num_tris),
+        "res": RES5, "spp": spp5, "depth": DEPTH5, "steps": steps5,
+        "seconds_per_step": wall5 / steps5, "backend": "cluster",
+        "gradcheck_rel_err": gc_rel, "gradcheck_ok": gc_rel < 0.05,
+        "loss_first": float(losses5[0]), "loss_last": float(losses5[-1]),
+    })
+    print(json.dumps(results[-1]), flush=True)
+
     head = dict(results[0])
     head["extra"] = results[1:]
     print(json.dumps(head))
     if os.path.exists("bench_invert.py"):
-        with open("INVERT_r04.json", "w") as f:
+        with open("INVERT_r05.json", "w") as f:
             json.dump({"workloads": results}, f, indent=1)
 
 

@@ -63,6 +63,41 @@ def main():
         results.append(r)
         print(json.dumps(r), flush=True)
         size *= 2
+
+    # Sharded BEAM megakernel (large-scene production path; round-4
+    # verdict item 2): Morton square-row bands over tile + sample
+    # windows, exercised across the same mesh sizes.
+    from pathtracer_tpu.parallel.shard import render_film_sharded_beam
+    import dataclasses
+    import numpy as np
+    from pathtracer_tpu import meshes
+    cam_b, sb = meshes.sphere_in_box(10, 20)
+    scene_b = sb.build()
+    cam_b = dataclasses.replace(cam_b, res=(128, 128))
+    beam_spp = max(8, args.spp // 8)
+    rays_b = 128 * 128 * beam_spp * args.depth
+    size = 1
+    while size <= n:
+        mesh = make_mesh(size)
+        np.asarray(render_film_sharded_beam(
+            mesh, cam_b, scene_b, samples=beam_spp,
+            depth=args.depth).data)
+        t0 = time.perf_counter()
+        np.asarray(render_film_sharded_beam(
+            mesh, cam_b, scene_b, samples=beam_spp,
+            depth=args.depth).data)
+        dt = time.perf_counter() - t0
+        r = {"devices": size, "mesh": dict(mesh.shape),
+             "backend": "beam_sharded",
+             "rays_per_sec": rays_b / dt, "seconds": dt}
+        base = next((x for x in results
+                     if x.get("backend") == "beam_sharded"), None)
+        if base is not None:
+            r["scaling_efficiency"] = (rays_b / dt) / (
+                base["rays_per_sec"] * size)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+        size *= 2
     return results
 
 

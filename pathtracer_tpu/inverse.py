@@ -196,6 +196,10 @@ def recover_materials(
     if loss not in ("paired", "relative", "mse", "sqrt"):
         raise ValueError(f"unknown loss {loss!r} "
                          f"(use 'paired', 'relative', 'sqrt' or 'mse')")
+    if loss == "paired" and samples < 2:
+        raise ValueError(
+            "loss='paired' needs samples >= 2 (two independent half-sample "
+            f"renders; got samples={samples})")
     wgt = (1.0 / (jnp.asarray(target) + rel_eps) ** 2
            if loss in ("relative", "paired") else 1.0)
     tgt_s = jnp.sqrt(jnp.asarray(target) + rel_eps)

@@ -89,6 +89,34 @@ MAX_BEAM_SC = 1008            # supercluster ids live below the header
 _SQ = 64                      # Morton square side; one square = one tile
 _SQ_PIX = _SQ * _SQ           # 4096
 
+# --- staged traversal (round 5): large scenes only ---------------------
+# At 100k tris the whole cluster queue fits one 2048-slot chunk, so the
+# ordered-traversal early-out never engaged: every queued cluster was
+# swept, walked and run against best_t = INF (measured union 2430
+# tests/segment at 105k tris vs 282 at 9.8k — near-LINEAR growth, round-4
+# verdict item 1).  Staged mode restores the log-like behavior of per-ray
+# ordered traversal (bvh.h:156-183) at beam granularity:
+#   * the queue is consumed in SMALL positional chunks (STAGED_CHUNK0
+#     positions, doubling each chunk) so the engine's best_t feeds back
+#     into every later chunk's sweeps;
+#   * before each chunk, the next STAGED_WINDOW queued superclusters are
+#     re-tested against the CURRENT best_t on the VPU (one extra
+#     vector->scalar plane per window, amortized across chunks — stale
+#     bits are a conservative superset since best_t only shrinks), and
+#     dead superclusters contribute ZERO chunk positions: no cluster
+#     sweep, no walk slots;
+#   * the cluster bit-plane gains a per-8-slot group-summary plane so the
+#     serial scalar walk skips dead groups at ~1 load each.
+STAGED_MIN_CL = 3000          # clusters; below this the legacy single
+                              # -chunk pipeline is faster (fixed per-chunk
+                              # overhead ~ 2 DMA drains + window sweep)
+STAGED_WINDOW = 64            # superclusters re-swept per window
+STAGED_CHUNK0 = 128           # first-chunk position budget (doubles
+                              # per chunk up to CHUNK_CAP); {128, 64}
+                              # won the round-5 hardware sweep
+                              # (scratch/staged_tune2.py; spreads are
+                              # ±4% chip noise, direction consistent)
+
 # The supercluster bit-plane places bit of sc id b at (b % 16, b // 16):
 # ids < 1016 occupy lanes 0-63, far from the header lanes at 126/127
 # (slot capacity check against the header ids is below, after they are
@@ -97,6 +125,7 @@ _SQ_PIX = _SQ * _SQ           # 4096
 # diagnostic knobs (scratch/beam_sweep2.py): statically disable stages
 DEBUG_SKIP_RUNS = False     # skip the triangle run engine
 DEBUG_SKIP_SWEEPS = False   # bit-planes forced to zero (no slab compute)
+DEBUG_SKIP_QUEUE = False    # skip the scalar supercluster-queue walk
 
 _GOLDEN = np.uint32(0x9E3779B9)
 _INV_U24 = np.float32(1.0 / 16777216.0)
@@ -137,15 +166,21 @@ def _deinterleave_bits(v):
 
 def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
             mats_ref, clb_ref, tris_ref, film_ref,
-            xfer_vmem, xfer_smem, runs_ref, squeue_ref, best_ref, sem, *,
-            tile_rows: int, depth: int, spp: int, n_sc: int, n_cl: int,
+            xfer_vmem, xfer_smem, runs_ref, squeue_ref, best_ref, sem,
+            sum_vmem, sum_smem, alive_vmem, alive_smem, cqueue_ref, sem2,
+            *, tile_rows: int, depth: int, spp: int, n_sc: int, n_cl: int,
             n_mats: int, ctris: int, has_specular: bool, spec_tries: int,
-            mats_inline: bool, count_runs: bool, interpret: bool):
+            mats_inline: bool, staged: bool, count_runs: bool,
+            interpret: bool):
     """One Morton film tile, full path pipeline.  SMEM inputs:
 
     iparams: (8,) i32 [s0, seed_mix, res_y (ACTUAL image height, for the
                        GPU seed convention), nsq_x (padded-film squares
-                       per row), tile_px_log2, pad, pad, pad]
+                       per row), tile_px_log2, tile0, pad, pad]
+             tile0 = global index of this launch's first tile (0 for a
+             full-film render).  A band launch of tiles [tile0, tile0 +
+             n_tiles) produces those tiles BIT-IDENTICAL to a full-film
+             launch — the sharded driver's pixel-tile partitioning.
     cam: (16,) f32 (trace_kernel._camera_params layout)
     scb: (S*8,) f32 FLAT supercluster AABB rows [lb, rt, pad2] (2D (N,8)
         SMEM windows are lane-padded 16x by Mosaic; flat 1D is not);
@@ -164,7 +199,7 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
     nsq_x = iparams_ref[3]
     tpx_log2 = iparams_ref[4]  # log2(pixels per tile)
 
-    tile = pl.program_id(0)
+    tile = pl.program_id(0) + iparams_ref[5]
     shape = (tile_rows, LANES)
     lin = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
@@ -194,6 +229,8 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
 
     row16 = jax.lax.broadcasted_iota(jnp.int32, (BITROWS, LANES), 0)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (BITROWS, LANES), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     nbest = 8 if mats_inline else 5
 
     def to_smem(acc):
@@ -289,6 +326,45 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                        & (row16 < half + 8))
                 return jnp.where(sel, counts16, acc)
 
+            def sweep_group2(bref, base, pg, best_t, carry):
+                """sweep_group plus a per-group summary plane: the total
+                want-count of positions [8*pg, 8*pg+8) lands at summary
+                slot (pg % 8, pg // 8) so the scalar walks can skip dead
+                groups at one SMEM load each (staged mode)."""
+                acc, sacc = carry
+                rows = [slab_rowmask(bref, base + j, best_t)
+                        for j in range(8)]
+                buf = jnp.concatenate(rows, axis=0)          # (8, 128)
+                counts = jax.lax.dot_general(
+                    buf, ones_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (8, 1)
+                counts16 = jnp.concatenate([counts, counts], axis=0)
+                half = (pg & 1) * 8
+                sel = ((lane16 == (pg >> 1)) & (row16 >= half)
+                       & (row16 < half + 8))
+                acc = jnp.where(sel, counts16, acc)
+                tot = jnp.sum(counts)
+                ssel = (row8 == (pg & 7)) & (lane8 == (pg >> 3))
+                sacc = jnp.where(ssel, tot, sacc)
+                return acc, sacc
+
+            def to_smem2(acc, sacc):
+                """Hand the positional plane AND its group-summary plane
+                to the scalar core: two DMAs started together, one
+                drain's worth of latency."""
+                xfer_vmem[:, :] = acc
+                sum_vmem[:, :] = sacc
+                if interpret:
+                    xfer_smem[:, :] = xfer_vmem[:, :]
+                    sum_smem[:, :] = sum_vmem[:, :]
+                else:
+                    d1 = pltpu.make_async_copy(xfer_vmem, xfer_smem, sem)
+                    d2 = pltpu.make_async_copy(sum_vmem, sum_smem, sem2)
+                    d1.start()
+                    d2.start()
+                    d1.wait()
+                    d2.wait()
+
             # dominant direction octant for front-to-back ordering
             if bounce == 0:
                 mdx = jnp.sum(dx, keepdims=True)[:1, :1]
@@ -305,9 +381,20 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
 
             # --- supercluster sweep -> bits + header -> scalar core ------
             acc = jnp.zeros((BITROWS, LANES), jnp.float32)
+            sacc0 = jnp.zeros((8, LANES), jnp.float32)
+            n_scg = (n_sc + 7) // 8
             if not DEBUG_SKIP_SWEEPS:
-                n_scg = (n_sc + 7) // 8
-                if n_scg <= 16:   # small scene: unroll statically
+                if staged:
+                    # summary plane alongside: the queue walk below skips
+                    # dead 8-id groups at one SMEM load each (at 608
+                    # garden superclusters the flat per-rank walk costs
+                    # ~16 us/tile-bounce; grouped it is ~3 us)
+                    acc, sacc0 = jax.lax.fori_loop(
+                        0, n_scg,
+                        lambda g, c: sweep_group2(scb_ref, g << 3, g,
+                                                  best_t0, c),
+                        (acc, sacc0))
+                elif n_scg <= 16:   # small scene: unroll statically
                     for g in range(n_scg):
                         acc = sweep_group(scb_ref, jnp.int32(8 * g),
                                           jnp.int32(g), best_t0, acc)
@@ -316,29 +403,61 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                         0, n_scg,
                         lambda g, a: sweep_group(scb_ref, g << 3, g,
                                                  best_t0, a), acc)
-            hdr = ((row16 == (_HDR_OCT % 16))
-                   & (lane16 == (_HDR_OCT // 16)))
-            acc = jnp.where(hdr, octant, acc)
-            hdr = ((row16 == (_HDR_ALIVE % 16))
-                   & (lane16 == (_HDR_ALIVE // 16)))
-            acc = jnp.where(hdr, n_alive, acc)
-            to_smem(acc)
+            if not (DEBUG_SKIP_SWEEPS and DEBUG_SKIP_QUEUE):
+                hdr = ((row16 == (_HDR_OCT % 16))
+                       & (lane16 == (_HDR_OCT // 16)))
+                acc = jnp.where(hdr, octant, acc)
+                hdr = ((row16 == (_HDR_ALIVE % 16))
+                       & (lane16 == (_HDR_ALIVE // 16)))
+                acc = jnp.where(hdr, n_alive, acc)
+                if staged:
+                    to_smem2(acc, sacc0)
+                else:
+                    to_smem(acc)
 
-            # --- scalar: ordered queue of passing superclusters ----------
+            # --- scalar: queue of passing superclusters ------------------
+            # legacy: per-octant front-to-back rank order (small queues).
+            # staged: ID-order grouped walk with summary skip — at 100k
+            # -class scenes the union is HIT-dominated (every queued sc
+            # holds some ray's nearest hit; measured: depth-1 coherent
+            # camera rays already need ~1850 tests/seg), so visit order
+            # buys ~nothing while the flat rank walk costs ~25 cy/rank.
             oct_i = xfer_smem[_HDR_OCT % 16, _HDR_OCT // 16].astype(jnp.int32)
             any_alive = xfer_smem[_HDR_ALIVE % 16, _HDR_ALIVE // 16] > 0.5
 
-            def sq_body(rank, nq):
-                sc = sco_ref[oct_i, rank]
-                bit = xfer_smem[sc & 15, sc >> 4] > 0.5
+            if DEBUG_SKIP_QUEUE:
+                nq = jnp.int32(0)
+            elif staged:
+                def sqg_body(g, nq):
+                    tot = sum_smem[g & 7, g >> 3]
+                    nv = jnp.minimum(n_sc - (g << 3), 8)
+                    nvv = jnp.where(tot > 0.5, nv, 0)
 
-                @pl.when(bit)
-                def _():
-                    squeue_ref[nq] = sc
+                    def ib(j, nq2):
+                        sc = (g << 3) + j
+                        bit = xfer_smem[sc & 15, sc >> 4] > 0.5
 
-                return nq + bit.astype(jnp.int32)
+                        @pl.when(bit)
+                        def _():
+                            squeue_ref[nq2] = sc
 
-            nq = jax.lax.fori_loop(0, n_sc, sq_body, jnp.int32(0))
+                        return nq2 + bit.astype(jnp.int32)
+
+                    return jax.lax.fori_loop(0, nvv, ib, nq)
+
+                nq = jax.lax.fori_loop(0, n_scg, sqg_body, jnp.int32(0))
+            else:
+                def sq_body(rank, nq):
+                    sc = sco_ref[oct_i, rank]
+                    bit = xfer_smem[sc & 15, sc >> 4] > 0.5
+
+                    @pl.when(bit)
+                    def _():
+                        squeue_ref[nq] = sc
+
+                    return nq + bit.astype(jnp.int32)
+
+                nq = jax.lax.fori_loop(0, n_sc, sq_body, jnp.int32(0))
             nq = jnp.where(any_alive, nq, 0)
             squeue_ref[nq] = jnp.int32(0)  # sentinel: pre-scan may peek
 
@@ -502,9 +621,160 @@ def _kernel(iparams_ref, cam_ref, scb_ref, scf_ref, scn_ref, sco_ref,
                     nruns = nruns + n_runs.astype(jnp.float32)
                 return qe, nruns
 
-            _, nruns_total = jax.lax.while_loop(
-                chunk_cond, chunk_body,
-                (jnp.int32(0), jnp.zeros((1, 1), jnp.float32)))
+            # ---- staged traversal (large scenes; see module constants) --
+            def staged_cond(st):
+                return st[0] < nq
+
+            def staged_body(st):
+                qs, win_lo, win_hi, cidx, nruns = st
+                best_t = best_ref[0]
+
+                # (a) supercluster-alive window re-sweep against the
+                # CURRENT best_t.  Amortized: stale bits are a
+                # conservative superset (best_t only shrinks), so a
+                # window is reused until consumed.  n_win = 0 when fresh
+                # -> the fori is a real skip (scalar trip count).
+                need = qs >= win_hi
+                n_win = jnp.where(
+                    need, jnp.minimum(nq - qs, STAGED_WINDOW), 0)
+
+                def wsweep(j, acc):
+                    sc = squeue_ref[qs + j]
+                    rm = slab_rowmask(scb_ref, sc, best_t)
+                    v = jnp.max(rm)
+                    sel = (row8 == (j & 7)) & (lane8 == (j >> 3))
+                    return jnp.where(sel, v, acc)
+
+                aacc = jax.lax.fori_loop(
+                    0, n_win, wsweep, jnp.zeros((8, LANES), jnp.float32))
+
+                @pl.when(need)
+                def _():
+                    alive_vmem[:, :] = aacc
+                    if interpret:
+                        alive_smem[:, :] = alive_vmem[:, :]
+                    else:
+                        dma = pltpu.make_async_copy(
+                            alive_vmem, alive_smem, sem2)
+                        dma.start()
+                        dma.wait()
+
+                win_lo = jnp.where(need, qs, win_lo)
+                win_hi = jnp.where(need, qs + n_win, win_hi)
+
+                # (b) scalar pre-scan: the chunk is the ALIVE sc's among
+                # queue entries [qs, qe) whose positions fit this chunk's
+                # budget (doubling per chunk: early chunks small so the
+                # engine's best_t feeds back fast, late chunks big so
+                # fixed costs amortize).  Dead sc's consume nothing; the
+                # compacted alive list lands in cqueue.
+                limit = jnp.minimum(
+                    jnp.int32(CHUNK_CAP),
+                    jnp.int32(STAGED_CHUNK0) << jnp.minimum(cidx, 3))
+
+                def a_bit(qi):
+                    j = qi - win_lo
+                    return alive_smem[j & 7, j >> 3] > 0.5
+
+                def pcond(p):
+                    qi, base, ncq = p
+                    sz = jnp.where(a_bit(qi),
+                                   align8(scn_ref[squeue_ref[qi]]), 0)
+                    return (qi < win_hi) & ((qi == qs)
+                                            | (base + sz <= limit))
+
+                def pbody(p):
+                    qi, base, ncq = p
+                    sc = squeue_ref[qi]
+                    alive = a_bit(qi)
+
+                    @pl.when(alive)
+                    def _():
+                        cqueue_ref[ncq] = sc
+
+                    sz = jnp.where(alive, align8(scn_ref[sc]), 0)
+                    return qi + 1, base + sz, ncq + alive.astype(jnp.int32)
+
+                qe, _, ncq = jax.lax.while_loop(
+                    pcond, pbody, (qs, jnp.int32(0), jnp.int32(0)))
+
+                # (c) vector: positional cluster sweep over the compact
+                # list + the group-summary plane
+                def sweep_ci(i, carry):
+                    pair, pbase = carry
+                    sc = cqueue_ref[i]
+                    first = scf_ref[sc]
+                    ngr = (scn_ref[sc] + 7) >> 3
+
+                    def grp(k, c2):
+                        return sweep_group2(clb_ref, first + (k << 3),
+                                            (pbase >> 3) + k, best_t, c2)
+
+                    pair = jax.lax.fori_loop(0, ngr, grp, pair)
+                    return pair, pbase + (ngr << 3)
+
+                z16 = jnp.zeros((BITROWS, LANES), jnp.float32)
+                z8 = jnp.zeros((8, LANES), jnp.float32)
+                if DEBUG_SKIP_SWEEPS:
+                    acc2, sacc2 = z16, z8
+                else:
+                    (acc2, sacc2), _ = jax.lax.fori_loop(
+                        0, ncq, sweep_ci, ((z16, z8), jnp.int32(0)))
+                # both planes cross together: two DMAs, one drain
+                to_smem2(acc2, sacc2)
+
+                # (d) scalar walk, one GROUP of 8 positions per
+                # iteration; a dead group costs ~1 summary load.  The
+                # inner fori bound nv skips the 8-aligned tail slots
+                # whose bits may be spuriously set by the sweep's
+                # past-the-end boxes (same contract as the legacy walk).
+                def wcond2(w):
+                    return w[0] < ncq
+
+                def wbody2(w):
+                    i, gi, p, n = w
+                    sc = cqueue_ref[i]
+                    scn = scn_ref[sc]
+                    pg = p >> 3
+                    tot = sum_smem[pg & 7, pg >> 3]
+                    nv = jnp.minimum(scn - (gi << 3), 8)
+                    nvv = jnp.where(tot > 0.5, nv, 0)
+                    base_c = scf_ref[sc] + (gi << 3)
+
+                    def ib(jj, n2):
+                        q = p + jj
+                        bit = xfer_smem[q & 15, q >> 4] > 0.5
+
+                        @pl.when(bit)
+                        def _():
+                            runs_ref[n2] = base_c + jj
+
+                        return n2 + bit.astype(jnp.int32)
+
+                    n = jax.lax.fori_loop(0, nvv, ib, n)
+                    ng = (scn + 7) >> 3
+                    last = gi + 1 >= ng
+                    return (jnp.where(last, i + 1, i),
+                            jnp.where(last, 0, gi + 1), p + 8, n)
+
+                _, _, _, n_runs = jax.lax.while_loop(
+                    wcond2, wbody2,
+                    (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                     jnp.int32(0)))
+                exec_runs(n_runs)
+                if count_runs:
+                    nruns = nruns + n_runs.astype(jnp.float32)
+                return qe, win_lo, win_hi, cidx + 1, nruns
+
+            if staged:
+                _, _, _, _, nruns_total = jax.lax.while_loop(
+                    staged_cond, staged_body,
+                    (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                     jnp.int32(0), jnp.zeros((1, 1), jnp.float32)))
+            else:
+                _, nruns_total = jax.lax.while_loop(
+                    chunk_cond, chunk_body,
+                    (jnp.int32(0), jnp.zeros((1, 1), jnp.float32)))
 
             best_t = best_ref[0]
             f_mat = best_ref[1]
@@ -639,17 +909,18 @@ CLB_SMEM_MAX = 20000  # clusters (640KB flat)
     jax.jit,
     static_argnames=("tile_rows", "depth", "spp", "n_sc", "n_cl", "n_mats",
                      "ctris", "has_specular", "n_tiles", "mats_inline",
-                     "count_runs", "interpret"),
+                     "staged", "count_runs", "interpret"),
 )
 def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
             n_sc, n_cl, n_mats, ctris, has_specular, n_tiles,
-            mats_inline=False, count_runs=False, interpret=False):
+            mats_inline=False, staged=False, count_runs=False,
+            interpret=False):
     (scb, scf, scn, sco, mats, clb, tris) = accel_arrays
     kern = functools.partial(
         _kernel, tile_rows=tile_rows, depth=depth, spp=spp, n_sc=n_sc,
         n_cl=n_cl, n_mats=n_mats, ctris=ctris, has_specular=has_specular,
         spec_tries=mat.SPECULAR_TRIES, mats_inline=mats_inline,
-        count_runs=count_runs, interpret=interpret)
+        staged=staged, count_runs=count_runs, interpret=interpret)
     n_rows = n_tiles * tile_rows
     nbest = 8 if mats_inline else 5
     clb_smem = n_cl <= CLB_SMEM_MAX
@@ -680,6 +951,14 @@ def _launch(iparams, cam_params, accel_arrays, *, tile_rows, depth, spp,
             pltpu.SMEM((MAX_BEAM_SC + 2,), jnp.int32),
             pltpu.VMEM((nbest, tile_rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
+            # staged-traversal scratch (a few KB; allocated in both modes
+            # to keep the kernel signature stable)
+            pltpu.VMEM((8, LANES), jnp.float32),   # group-summary plane
+            pltpu.SMEM((8, LANES), jnp.float32),
+            pltpu.VMEM((8, LANES), jnp.float32),   # sc-alive window bits
+            pltpu.SMEM((8, LANES), jnp.float32),
+            pltpu.SMEM((CHUNK_CAP // 8 + 2,), jnp.int32),  # cqueue
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(iparams, cam_params, scb, scf, scn, sco, mats, clb, tris)
@@ -689,13 +968,19 @@ _ACCEL_CACHE = []  # [(fingerprint, accel)]
 
 
 def _scene_fingerprint(scene: Scene):
-    """Cheap content key: two equal scenes built twice share one accel
-    (an id() key would rebuild and pin dead scenes' device arrays)."""
-    v1, v2, v3 = scene.host_verts()
-    mtype, albedo, emit, rough = scene.host_materials()
-    return (scene.num_tris, float(v1.sum()), float(v2.sum()),
-            float(v3.sum()), float(albedo.sum()), float(emit.sum()),
-            float(rough.sum()), int(mtype.sum()))
+    """Content key: two equal scenes built twice share one accel (an id()
+    key would rebuild and pin dead scenes' device arrays).  Hashes the RAW
+    BYTES of every geometry/material array — float sums are permutation
+    -invariant and quantize at ~unit resolution for 100k-tri scenes, so a
+    sum key could serve a stale accel after a sum-preserving scene edit
+    (round-4 advisor finding)."""
+    import hashlib
+    h = hashlib.sha1()
+    for arr in (*scene.host_verts(), *scene.host_materials()):
+        a = np.ascontiguousarray(arr)
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return (scene.num_tris, h.hexdigest())
 
 
 def _accel_for(scene: Scene) -> BeamAccel:
@@ -742,6 +1027,7 @@ def render_sum_beam(camera: Camera, scene: Scene, sample0: int,
                     accel: Optional[BeamAccel] = None,
                     tile_rows: int = DEFAULT_TILE_ROWS,
                     spp_per_call: Optional[int] = None,
+                    staged: Optional[bool] = None,
                     count_runs: bool = False,
                     interpret: bool = False,
                     verbose: bool = False) -> np.ndarray:
@@ -780,6 +1066,8 @@ def render_sum_beam(camera: Camera, scene: Scene, sample0: int,
 
     if spp_per_call is None:
         spp_per_call = max(1, min(samples, (1 << 25) // (n_pix * depth)))
+    if staged is None:
+        staged = accel.num_clusters >= STAGED_MIN_CL
 
     film_m = jnp.zeros((3, n_pix // LANES, LANES), jnp.float32)
     s = 0
@@ -794,7 +1082,7 @@ def render_sum_beam(camera: Camera, scene: Scene, sample0: int,
             n_cl=accel.num_clusters, n_mats=accel.num_materials,
             ctris=accel.ctris, has_specular=scene.has_specular,
             n_tiles=n_tiles, mats_inline=accel.mats_inline,
-            count_runs=count_runs, interpret=interpret)
+            staged=staged, count_runs=count_runs, interpret=interpret)
         s += spp
         if verbose:
             print(f"\rRendered: {sample0 + s} spp.", end="", flush=True)
@@ -811,6 +1099,7 @@ def render_film_beam(camera: Camera, scene: Scene, samples: int,
                      accel: Optional[BeamAccel] = None,
                      tile_rows: int = DEFAULT_TILE_ROWS,
                      spp_per_call: Optional[int] = None,
+                     staged: Optional[bool] = None,
                      count_runs: bool = False,
                      interpret: bool = False,
                      verbose: bool = False) -> Film:
@@ -824,7 +1113,7 @@ def render_film_beam(camera: Camera, scene: Scene, samples: int,
     (channels 1-2 still carry radiance); see count_tri_tests."""
     film = render_sum_beam(
         camera, scene, 0, samples, depth, seed=seed, accel=accel,
-        tile_rows=tile_rows, spp_per_call=spp_per_call,
+        tile_rows=tile_rows, spp_per_call=spp_per_call, staged=staged,
         count_runs=count_runs, interpret=interpret, verbose=verbose)
     return Film(camera.res, data=film / np.float32(samples))
 
@@ -832,6 +1121,7 @@ def render_film_beam(camera: Camera, scene: Scene, samples: int,
 def count_tri_tests(camera: Camera, scene: Scene, samples: int = 8,
                     depth: int = 5, *, accel: Optional[BeamAccel] = None,
                     tile_rows: int = DEFAULT_TILE_ROWS,
+                    staged: Optional[bool] = None,
                     interpret: bool = False) -> float:
     """Mean triangle tests per ray segment — the traversal-union metric
     the roofline analysis is built on (ROOFLINE.md §3).  Runs the
@@ -842,6 +1132,6 @@ def count_tri_tests(camera: Camera, scene: Scene, samples: int = 8,
     if accel is None:
         accel = _accel_for(scene)
     film = render_film_beam(camera, scene, samples, depth, accel=accel,
-                            tile_rows=tile_rows, count_runs=True,
-                            interpret=interpret)
+                            tile_rows=tile_rows, staged=staged,
+                            count_runs=True, interpret=interpret)
     return float(np.asarray(film.data)[..., 0].mean()) / depth * accel.ctris

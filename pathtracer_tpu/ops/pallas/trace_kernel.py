@@ -97,7 +97,13 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
             tile_rows: int, n_tris: int, depth: int, spp: int,
             has_specular: bool, spec_tries: int, loop: str = "mt"):
     """One film tile.  SMEM inputs:
-    iparams: (4,) int32  [sample_idx0, seed_mix, width_log2, res_y]
+    iparams: (5,) int32  [sample_idx0, seed_mix, width_log2, res_y, h0]
+             h0 = first pixel ROW of this launch (0 for a full-film
+             render).  A band launch [h0, h0 + band_h) produces rows
+             BIT-IDENTICAL to the same rows of a full-film launch: the
+             per-(pixel, sample) RNG streams depend only on the global
+             (w, h) — this is what gives the sharded driver true
+             pixel-tile partitioning (parallel/shard.py).
     cam:     (16,) f32   [pos(3), right(3), up(3), dist*fwd(3), cell,
                           vres_x/2, vres_y/2, pixel_offset]
     tri:     loop="mt":      (T, 9) f32  [v1, e1, e2]
@@ -125,6 +131,7 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
     seed_mix = iparams_ref[1].astype(jnp.uint32)
     width_log2 = iparams_ref[2]   # image width as a power of two
     res_y = iparams_ref[3]
+    h0 = iparams_ref[4]           # first pixel row of this launch
 
     tile = pl.program_id(0)
     pix = (tile * (tile_rows * LANES)
@@ -134,7 +141,7 @@ def _kernel(iparams_ref, cam_ref, tri_ref, tab_ref, film_ref, *,
     # division lowers catastrophically in Mosaic; the launcher guarantees
     # power-of-two widths)
     w = pix & ((1 << width_log2) - 1)
-    h = pix >> width_log2
+    h = (pix >> width_log2) + h0
 
     # Per-pixel base seed (shader.h:286 discipline; see rng.sample_seed).
     pix_seed = (h.astype(jnp.uint32)
@@ -539,7 +546,7 @@ def render_sum_pallas(camera: Camera, scene: Scene, sample0: int,
     s = 0
     while s < samples:
         spp = min(spp_per_call, samples - s)
-        iparams = jnp.array([sample0 + s, seed_mix, width_log2, height],
+        iparams = jnp.array([sample0 + s, seed_mix, width_log2, height, 0],
                             jnp.int32)
         film = film + _launch(
             iparams, cam_params, tri_params, table,

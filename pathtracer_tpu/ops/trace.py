@@ -78,14 +78,27 @@ def shade_table(scene: Scene) -> jnp.ndarray:
     )
 
 
+ONEHOT_GATHER_MAX_ROWS = 4096
+
+
 def gather_features(table: jnp.ndarray, tid: jnp.ndarray) -> jnp.ndarray:
-    """One-hot-matmul gather of shade-table rows: (...,) ids -> (..., 12).
+    """Gather of shade-table rows: (...,) ids -> (..., 12).
 
     tid may be -1 (miss); those rows come back all-zero, which downstream
-    masking ignores anyway."""
+    masking ignores anyway.
+
+    Small tables go through a one-hot matmul (the MXU-friendly gather on
+    TPU).  Large tables use a real gather: the one-hot's BACKWARD
+    materializes the (rays, T) matrix — at 105k triangles x 16k rays
+    that is 6.9 GB and the 9.8k-scene recovery OOMed at 64 spp for the
+    same reason (round-5 finding); lax gather/scatter-add keep memory
+    linear in rays + T."""
     T = table.shape[0]
-    onehot = jax.nn.one_hot(tid, T, dtype=table.dtype)  # -1 -> all zeros
-    return onehot @ table
+    if T <= ONEHOT_GATHER_MAX_ROWS:
+        onehot = jax.nn.one_hot(tid, T, dtype=table.dtype)  # -1 -> zeros
+        return onehot @ table
+    feat = jnp.take(table, jnp.maximum(tid, 0), axis=0)
+    return jnp.where((tid >= 0)[..., None], feat, 0.0)
 
 
 IntersectFn = Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
@@ -115,6 +128,7 @@ def trace_rays(
     rng_state: jnp.ndarray,
     has_specular: bool = True,
     park_pose=None,
+    unroll: bool = False,
 ):
     """Trace a ray batch to radiance.
 
@@ -189,5 +203,17 @@ def trace_rays(
         jnp.ones(ray_o.shape[:-1], bool),
         rng_state,
     )
+    if unroll:
+        # Straight-line bounce chain (static depth).  The differentiable
+        # cluster path NEEDS this: a Pallas call inside a lax.scan body
+        # makes XLA stage its VMEM triangle window through SCOPED vmem
+        # (lane-padded; 16MB cap -> ~30k-tri ceiling, measured 51.8MB at
+        # 105k).  Unrolled, the window binds directly and the ceiling
+        # disappears — gradients are identical (same math, same
+        # residuals).
+        carry = init
+        for _ in range(depth):
+            carry, _ = body(carry, None)
+        return carry[3]
     (_, _, _, rad, _, _), _ = lax.scan(body, init, None, length=depth)
     return rad

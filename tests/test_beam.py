@@ -229,3 +229,50 @@ def test_many_materials_inline_bit_exact():
     fr = pt.render_film(cam, scene, samples=2, depth=1, seed=3,
                         backend="brute")
     np.testing.assert_array_equal(np.asarray(fb.data), np.asarray(fr.data))
+
+
+def test_beam_noise_contract_vs_cluster():
+    """CI guard for the README's noise-equivalence claim (round-4 verdict
+    item 6): at equal spp the coherent-beam sampling and the per-pixel
+    -independent cluster sampling converge at the SAME rate — PSNR vs a
+    committed converged truth (8192 spp, scratch/make_sphere_truth.py)
+    must match within a small margin.  Tile-correlated noise changes the
+    noise STRUCTURE (blotches vs grain), not its magnitude."""
+    import os
+
+    truth_path = os.path.join(os.path.dirname(__file__), "goldens",
+                              "sphere64_truth.npz")
+    truth = np.load(truth_path)["film"]
+    cam, scene = _sphere_cam(64)
+
+    def mse(img):
+        return float(np.mean((np.asarray(img) - truth) ** 2))
+
+    def psnr(m):
+        peak = float(truth.max())
+        return 10.0 * np.log10(peak * peak / m)
+
+    # At 64^2 the film is only TWO 2048-pixel beam tiles, so a single
+    # seed's image error is dominated by a handful of shared draws and
+    # its PSNR wanders by multiple dB; aggregate the mse over seeds to
+    # estimate the CONVERGENCE RATE (what the contract is about) rather
+    # than one draw of the noise.
+    seeds = (9, 23, 57)
+    mb = np.mean([mse(pt.render_film(cam, scene, samples=256, depth=5,
+                                     seed=s, backend="beam").data)
+                  for s in seeds])
+    mc = np.mean([mse(pt.render_film(cam, scene, samples=256, depth=5,
+                                     seed=s, backend="cluster").data)
+                  for s in seeds])
+    pb, pc = psnr(mb), psnr(mc)
+    # both must beat the all-black frame (non-vacuity: the renders carry
+    # signal, not just a magnitude match — this dark scene's 64-spp
+    # noise scores BELOW black, hence 256 spp) and land within 2.5 dB of
+    # EACH OTHER.  Measured here: 10.2 vs 11.8 dB — the residual ~1.5 dB
+    # is the mse ESTIMATOR's own noise (a 64^2 film is only two beam
+    # tiles, so the beam image's error has ~2 x spp effective draws per
+    # seed); a genuinely broken sampler shows 5-10 dB.  The README's TPU
+    # measurement at higher spp/res: 21.03 vs 21.15 dB.
+    p_black = psnr(mse(np.zeros_like(truth)))
+    assert pb > p_black + 1.5 and pc > p_black + 1.5, (pb, pc, p_black)
+    assert abs(pb - pc) < 2.5, (pb, pc)

@@ -103,3 +103,57 @@ def test_sharded_pallas_matches_single_device(devices8):
     ref = trace_kernel.render_film_pallas(cam, scene, 8, 2, seed=7,
                                           interpret=True)
     np.testing.assert_array_equal(np.asarray(f.data), np.asarray(ref.data))
+
+
+def test_sharded_pallas_banded_film(devices8):
+    """TRUE pixel-tile sharding (round-4 verdict item 3): at 256^2 with
+    tile=4 x sample=2 every device renders only its own 64-row band (the
+    kernel's h0 offset) and the psum runs over the sample axis only.
+    Bit-exactness against the single-device kernel fails if ANY band
+    index/offset is wrong — each band's rows must reproduce the exact
+    global-(w,h) RNG streams."""
+    from pathtracer_tpu.ops.pallas import trace_kernel
+    from pathtracer_tpu.parallel.shard import render_film_sharded_pallas
+
+    cam, scene = pt.cornell_box(res=(256, 256))
+    mesh = make_mesh(8, tile=4, sample=2)
+    f = render_film_sharded_pallas(mesh, cam, scene, samples=4, depth=2,
+                                   seed=7)
+    ref = trace_kernel.render_film_pallas(cam, scene, 4, 2, seed=7,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(f.data), np.asarray(ref.data))
+    assert np.asarray(f.data).max() > 0  # non-vacuous
+
+
+def test_sharded_beam_matches_single_device(devices8):
+    """The coherent-beam megakernel sharded over the mesh (round-4
+    verdict item 2): Morton square-row bands over ``tile`` via the tile0
+    offset, sample windows over ``sample``, psum over sample only.
+    Bit-exact against the single-device beam render."""
+    from pathtracer_tpu.ops.pallas import beam_kernel
+    from pathtracer_tpu.parallel.shard import render_film_sharded_beam
+
+    cam, scene = pt.corner_scene(res=(128, 128))
+    mesh = make_mesh(8, tile=2, sample=4)
+    f = render_film_sharded_beam(mesh, cam, scene, samples=8, depth=3,
+                                 seed=5)
+    ref = beam_kernel.render_film_beam(cam, scene, samples=8, depth=3,
+                                       seed=5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(f.data), np.asarray(ref.data))
+    assert np.asarray(f.data).max() > 0
+
+
+def test_sharded_beam_fallback_sample_only(devices8):
+    """A film too small to band (64^2 = one Morton square-row) falls back
+    to pure sample-parallelism and still matches bit-exactly."""
+    from pathtracer_tpu.ops.pallas import beam_kernel
+    from pathtracer_tpu.parallel.shard import render_film_sharded_beam
+
+    cam, scene = pt.cornell_box(res=(64, 64))
+    mesh = make_mesh(8, tile=4, sample=2)
+    f = render_film_sharded_beam(mesh, cam, scene, samples=8, depth=2,
+                                 seed=3)
+    ref = beam_kernel.render_film_beam(cam, scene, samples=8, depth=2,
+                                       seed=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(f.data), np.asarray(ref.data))
+    assert np.asarray(f.data).max() > 0
