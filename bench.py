@@ -211,7 +211,9 @@ def main():
     # the reference GPU path is capped at 300 uniform triangles and its
     # CPU path is single-threaded).  Unbounded cluster count via the
     # beam kernel's positional bit-plane chunks.
-    gspp = int(os.environ.get("BENCH_GARDEN_SPP", "32"))
+    # 64 spp (round 5): each render call pays ~150 ms fixed (tunnel
+    # dispatch + film fetch); at 32 spp that was ~15% of the metric
+    gspp = int(os.environ.get("BENCH_GARDEN_SPP", "64"))
     cam_g, gsb = meshes.mesh_garden()
     scene_g = gsb.build()
     cam_g = dataclasses.replace(cam_g, res=(bres, bres))
