@@ -130,9 +130,10 @@ def _plan(width: int, height: int, samples: int, n_tris: int,
         per_pass = TARGET_RAYS_PER_PASS
     else:
         per_pass = max(1 << 16, TARGET_RAYS_PER_PASS // max(1, n_tris // 32))
+    # No divisibility requirement: the driver handles a ragged last tile
+    # (a divisor search could degrade to 1-row tiles for prime heights,
+    # making the tile driver dispatch-bound — round-4 advisor finding).
     tile_h = max(1, min(height, per_pass // max(1, width)))
-    while height % tile_h:
-        tile_h -= 1
     spp_b = max(1, min(samples, per_pass // (tile_h * width)))
     blocks = max(1, min(samples // spp_b,
                         TARGET_RAYS_PER_CALL // (tile_h * width * spp_b)))
@@ -332,18 +333,20 @@ def render_film(camera: Camera, scene: Scene, samples: int, depth: int = 5,
                 print(f"Resuming at sample {samples_done}/{samples}.")
 
     done = 0
-    total = len(sched) * (height // tile_h)
+    tiles_per_pass = -(-height // tile_h)
+    total = len(sched) * tiles_per_pass
     for ei, (s0, this_spp, nb) in enumerate(sched):
         if s0 < samples_done:
-            done += height // tile_h
+            done += tiles_per_pass
             continue
         for h0 in range(0, height, tile_h):
-            step = _tile_step(backend, tile_h, width, height, this_spp, nb,
+            th = min(tile_h, height - h0)  # ragged last tile
+            step = _tile_step(backend, th, width, height, this_spp, nb,
                               depth, seed, max_leaf, stack_size, interpret,
                               park)
             acc = step(scene, table, camera, accel,
                        jnp.int32(h0), jnp.int32(s0))
-            film = film.at[h0 : h0 + tile_h].add(acc)
+            film = film.at[h0 : h0 + th].add(acc)
             done += 1
             if verbose:
                 print(f"\rRendered: {done}/{total} passes.",
