@@ -276,3 +276,26 @@ def test_beam_noise_contract_vs_cluster():
     p_black = psnr(mse(np.zeros_like(truth)))
     assert pb > p_black + 1.5 and pc > p_black + 1.5, (pb, pc, p_black)
     assert abs(pb - pc) < 2.5, (pb, pc)
+
+
+def test_accel_cache_not_fooled_by_sum_preserving_edit():
+    """Round-4 advisor finding: the accel cache keyed on float SUMS of
+    the scene arrays, so a sum-preserving material swap could silently
+    render stale materials.  The key is now a hash of the raw bytes."""
+    import jax.numpy as jnp
+
+    cam, scene = pt.cornell_box(res=(32, 32))
+    f1 = beam_kernel.render_film_beam(cam, scene, samples=48, depth=3,
+                                      seed=3, interpret=True)
+    alb = np.asarray(scene.albedo).copy()
+    # swap the red and green walls: every array SUM is unchanged, the
+    # image is not (indirect bounce color flips sides)
+    red = np.nonzero(alb[:, 0] > alb[:, 1] + 0.2)[0]
+    green = np.nonzero(alb[:, 1] > alb[:, 0] + 0.2)[0]
+    assert red.size and green.size
+    alb[red] = np.asarray(scene.albedo)[green[: red.size]]
+    alb[green[: red.size]] = np.asarray(scene.albedo)[red]
+    scene2 = scene.replace_materials(albedo=jnp.asarray(alb))
+    f2 = beam_kernel.render_film_beam(cam, scene2, samples=48, depth=3,
+                                      seed=3, interpret=True)
+    assert not np.array_equal(np.asarray(f1.data), np.asarray(f2.data))
