@@ -278,6 +278,42 @@ def test_beam_noise_contract_vs_cluster():
     assert abs(pb - pc) < 2.5, (pb, pc)
 
 
+def test_staged_traversal_bit_exact(monkeypatch):
+    """Round-5 staged traversal (adaptive positional chunks with best-t
+    feedback, per-window supercluster re-tests, group-summary planes)
+    claims BIT-identical images; production only engages it at >=
+    STAGED_MIN_CL clusters, so force staged=True here — and shrink the
+    chunk/window budgets so a small scene actually exercises multiple
+    adaptive chunks and window re-sweeps, not just the first chunk."""
+    cam, scene = _sphere_cam(32)
+    monkeypatch.setattr(beam_kernel, "STAGED_CHUNK0", 8)
+    monkeypatch.setattr(beam_kernel, "STAGED_WINDOW", 4)
+    beam_kernel._launch.clear_cache()
+    try:
+        fs = beam_kernel.render_film_beam(cam, scene, samples=2, depth=3,
+                                          seed=2, staged=True,
+                                          interpret=True)
+        f1 = beam_kernel.render_film_beam(cam, scene, samples=1, depth=1,
+                                          seed=4, staged=True,
+                                          interpret=True)
+        monkeypatch.undo()
+        beam_kernel._launch.clear_cache()
+        fl = beam_kernel.render_film_beam(cam, scene, samples=2, depth=3,
+                                          seed=2, staged=False,
+                                          interpret=True)
+        # deep bounces: staged == legacy, bit for bit (the chunks only
+        # regroup sweep/walk/engine and cull via the monotone best_t)
+        np.testing.assert_array_equal(np.asarray(fs.data),
+                                      np.asarray(fl.data))
+        # depth 1: staged == the brute oracle, bit for bit
+        fr = pt.render_film(cam, scene, samples=1, depth=1, seed=4,
+                            backend="brute")
+        np.testing.assert_array_equal(np.asarray(f1.data),
+                                      np.asarray(fr.data))
+    finally:
+        beam_kernel._launch.clear_cache()
+
+
 def test_accel_cache_not_fooled_by_sum_preserving_edit():
     """Round-4 advisor finding: the accel cache keyed on float SUMS of
     the scene arrays, so a sum-preserving material swap could silently
