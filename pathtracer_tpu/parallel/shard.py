@@ -141,7 +141,12 @@ def render_film_sharded_pallas(
     n_tile = mesh.shape[TILE_AXIS]
     n_sample = mesh.shape[SAMPLE_AXIS]
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # The kernels run on the MESH's devices, which need not be the
+        # default backend: under the TPU tunnel a virtual-CPU-mesh dry
+        # run still reports default_backend() == "tpu" (the platform
+        # plugin registers itself regardless of jax_platforms), and a
+        # non-interpret Pallas call on CPU devices is an error.
+        interpret = mesh.devices.flat[0].platform == "cpu"
 
     if width <= 0 or width & (width - 1):
         raise ValueError(
@@ -247,7 +252,8 @@ def render_film_sharded_beam(
     n_tile = mesh.shape[TILE_AXIS]
     n_sample = mesh.shape[SAMPLE_AXIS]
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # mesh devices, not default_backend(): see render_film_sharded_pallas
+        interpret = mesh.devices.flat[0].platform == "cpu"
 
     accel = bkn._accel_for(scene)
     if accel.num_superclusters > bkn.MAX_BEAM_SC:
