@@ -220,7 +220,20 @@ def recover_materials(
     rough_spsa = "roughness" in optimize and scene.has_specular
     spsa_eps = 0.15  # logit-space perturbation (~0.04 at rough 0.5)
 
-    @jax.jit
+    # Above ~30k triangles the step must dispatch EAGERLY: inside one big
+    # jitted program XLA keeps the cluster kernel's (P, 9) triangle window
+    # in HBM and stages it through SCOPED vmem (lane-padded 14x; the 16MB
+    # scoped limit is crossed at ~30k tris — 51.8MB at 105k), while eager
+    # dispatch compiles each pallas launch as its own program, whose VMEM
+    # operand is a regular (128MB-budget) allocation.  Measured at 105k:
+    # the eager value+grad step runs at 2.2 s, the jitted one does not
+    # compile.  Dispatch overhead is irrelevant at that scale.
+    jit_step = True
+    if backend == "cluster":
+        from .ops.pallas import cluster_kernel
+        jit_step = (scene.num_tris
+                    <= cluster_kernel.MAX_CLUSTER_TRIS_ON_DEVICE)
+
     def step(params, opt_state, k):
         def loss_fn(p):
             half = max(samples // 2, 1) if loss_kind == "paired" else samples
@@ -274,6 +287,9 @@ def recover_materials(
                    for k, u in updates.items()}
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    if jit_step:
+        step = jax.jit(step)
 
     losses = []
     for k in range(start_step, steps):

@@ -221,17 +221,21 @@ def _sort_keys(ray_o, ray_d, lb, rt):
     return (morton << 3) | octant
 
 
-# On-device scene ceiling FOR THE TILE DRIVER ONLY: render.py invokes
-# this pallas call inside nested lax.while loops, where XLA stages the
-# (P, 9) triangle window through SCOPED vmem lane-padded to 128 — the
-# 16MB scoped limit is crossed at ~30k triangles (measured 51.8MB at
-# 105k).  Bigger scenes render through the beam megakernel (any size).
-# The DIFFERENTIABLE path has no such ceiling since round 5: diff.py
-# UNROLLS the bounce chain (trace_rays(unroll=True)), so the window
-# binds directly and 100k+-tri recoveries run through this kernel
-# (verified: 105k garden, 2.2 s per value+grad step, gradcheck 1.1e-2).
-# The guard below turns the tile driver's opaque Mosaic error into
-# advice.
+# On-device scene ceiling for COMPOSITE JITTED PROGRAMS around this
+# kernel: when the pallas call sits inside a larger compiled program
+# (render.py's nested lax.while tile driver, or a whole jitted optimizer
+# step), XLA keeps the (P, 9) triangle window in HBM and stages it
+# through SCOPED vmem lane-padded to 128 — the 16MB scoped limit is
+# crossed at ~30k triangles (measured 51.8MB at 105k).  Launched as its
+# OWN program (eager dispatch; _launch is jitted standalone) the VMEM
+# operand is a regular allocation against the 128MB budget and 100k+
+# scenes run fine.  Since round 5 the differentiable path exploits this:
+# diff.py UNROLLS the bounce chain (trace_rays(unroll=True)) so no scan
+# wraps the call, and inverse.recover_materials drops to eager step
+# dispatch above this ceiling (verified: 105k garden, 2.2 s per
+# value+grad step, gradcheck 1.1e-2).  Bigger scenes RENDER through the
+# beam megakernel (any size).  The guard below turns the tile driver's
+# opaque Mosaic error into advice.
 MAX_CLUSTER_TRIS_ON_DEVICE = 30_000
 
 

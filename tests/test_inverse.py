@@ -158,6 +158,31 @@ def test_recover_roughness_spsa():
         f"pixel-weighted roughness error {werr:.3f} (do-nothing = 0.20)")
 
 
+def test_recover_eager_step_matches_jitted(monkeypatch):
+    """Above MAX_CLUSTER_TRIS_ON_DEVICE, recover_materials dispatches the
+    train step EAGERLY (a whole jitted step stages the cluster kernel's
+    triangle window through 16MB-capped scoped vmem — the 105k OOM; each
+    pallas launch compiled standalone is fine).  The fallback must be the
+    same optimization: force it on a small scene and compare trajectories
+    against the jitted step."""
+    from pathtracer_tpu.ops.pallas import cluster_kernel
+
+    cam, scene = pt.corner_scene(res=(16, 16))
+    true_mats = diff.material_params(scene)
+    target = jnp.asarray(diff.render_film_diff(
+        cam, scene, true_mats, samples=32, depth=2, sample_offset=900_000))
+
+    kw = dict(steps=6, samples=4, depth=2, lr=8e-2,
+              optimize=("albedo",), backend="cluster")
+    mats_jit, loss_jit = inverse.recover_materials(cam, scene, target, **kw)
+    monkeypatch.setattr(cluster_kernel, "MAX_CLUSTER_TRIS_ON_DEVICE", 1)
+    mats_eager, loss_eager = inverse.recover_materials(
+        cam, scene, target, **kw)
+    np.testing.assert_allclose(loss_eager, loss_jit, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mats_eager["albedo"]),
+                               np.asarray(mats_jit["albedo"]), atol=1e-5)
+
+
 def test_recover_joint_reduced_budget():
     """Joint albedo+emit+roughness at CI budget (round-4 verdict item 5):
     all three groups move at once on a small specular scene; the paired
