@@ -27,6 +27,24 @@ def _sphere_cam(res):
     return dataclasses.replace(cam, res=(res, res)), scene
 
 
+def _sphere_cam_lit(res):
+    """Sphere scene with the camera tilted UP so the ceiling light panel
+    is on screen: from the stock forward the nearly-edge-on panel
+    projects between the pixel centers of small films, depth-1 images
+    are all black, and low-spp beam images are black too (every tile's
+    few shared bounce draws miss the light) — bit-exactness tests then
+    compare black to black, vacuously.  Tests that assert image equality
+    at tiny sample counts use this camera and assert non-vacuity."""
+    from pathtracer_tpu.camera import make_camera
+    from pathtracer_tpu.linalg import DEG2RAD
+
+    _, sb = meshes.sphere_in_box(10, 20)
+    scene = sb.build()
+    cam = make_camera((250, 250, -420), (0, 0.35, 1), (0, 1, 0),
+                      (res, res), 60 * DEG2RAD, 1.0)
+    return cam, scene
+
+
 def test_depth1_bit_exact_cornell():
     cam, scene = pt.cornell_box(res=(64, 64))
     fb = beam_kernel.render_film_beam(cam, scene, samples=2, depth=1,
@@ -37,11 +55,12 @@ def test_depth1_bit_exact_cornell():
 
 
 def test_depth1_bit_exact_mesh_scene():
-    cam, scene = _sphere_cam(32)
+    cam, scene = _sphere_cam_lit(32)
     fb = beam_kernel.render_film_beam(cam, scene, samples=1, depth=1,
                                       seed=2, interpret=True)
     fr = pt.render_film(cam, scene, samples=1, depth=1, seed=2,
                         backend="bvh")
+    assert np.asarray(fr.data).max() > 0  # the light must be visible
     np.testing.assert_array_equal(np.asarray(fb.data), np.asarray(fr.data))
 
 
@@ -126,10 +145,11 @@ def test_render_film_backend_beam():
 def test_beam_checkpoint_resume(tmp_path):
     """Beam renders checkpoint at sample-block boundaries and resume
     bit-identically (the round-3 'beam cannot checkpoint' cliff)."""
-    cam, scene = _sphere_cam(32)
+    cam, scene = _sphere_cam_lit(32)
     ck = str(tmp_path / "beam_ck")
     full = pt.render_film(cam, scene, samples=4, depth=2, seed=3,
                           backend="beam")
+    assert np.asarray(full.data).max() > 0  # non-vacuous resume compare
     with pytest.raises(KeyboardInterrupt):
         pt.render_film(cam, scene, samples=4, depth=2, seed=3,
                        backend="beam", checkpoint=ck, _abort_after=1)
@@ -145,7 +165,7 @@ def test_chunked_walk_bit_exact(monkeypatch):
     (chunk boundaries only regroup the sweep/walk/engine trio — and
     later chunks get slab-culled by earlier best_t, which may only
     remove provably occluded clusters)."""
-    cam, scene = _sphere_cam(32)
+    cam, scene = _sphere_cam_lit(32)
     monkeypatch.setattr(beam_kernel, "CHUNK_CAP", 64)
     beam_kernel._launch.clear_cache()
     try:
@@ -155,6 +175,7 @@ def test_chunked_walk_bit_exact(monkeypatch):
         beam_kernel._launch.clear_cache()
         fr = beam_kernel.render_film_beam(cam, scene, samples=1, depth=2,
                                           seed=2, interpret=True)
+        assert np.asarray(fr.data).max() > 0  # non-vacuous comparison
         np.testing.assert_array_equal(np.asarray(fb.data),
                                       np.asarray(fr.data))
     finally:
@@ -285,7 +306,7 @@ def test_staged_traversal_bit_exact(monkeypatch):
     STAGED_MIN_CL clusters, so force staged=True here — and shrink the
     chunk/window budgets so a small scene actually exercises multiple
     adaptive chunks and window re-sweeps, not just the first chunk."""
-    cam, scene = _sphere_cam(32)
+    cam, scene = _sphere_cam_lit(32)
     monkeypatch.setattr(beam_kernel, "STAGED_CHUNK0", 8)
     monkeypatch.setattr(beam_kernel, "STAGED_WINDOW", 4)
     beam_kernel._launch.clear_cache()
@@ -303,11 +324,13 @@ def test_staged_traversal_bit_exact(monkeypatch):
                                           interpret=True)
         # deep bounces: staged == legacy, bit for bit (the chunks only
         # regroup sweep/walk/engine and cull via the monotone best_t)
+        assert np.asarray(fl.data).max() > 0  # non-vacuous comparison
         np.testing.assert_array_equal(np.asarray(fs.data),
                                       np.asarray(fl.data))
         # depth 1: staged == the brute oracle, bit for bit
         fr = pt.render_film(cam, scene, samples=1, depth=1, seed=4,
                             backend="brute")
+        assert np.asarray(fr.data).max() > 0
         np.testing.assert_array_equal(np.asarray(f1.data),
                                       np.asarray(fr.data))
     finally:
